@@ -1,0 +1,88 @@
+"""Typed configuration tree for the TPU dycore + experiments.
+
+Replaces the reference's layered config sprawl - experiments.yaml + env-var
+vault + dataclass presets rendered to shell `export` blocks + .rc/.nml file
+swapping (/root/reference/src/tcn/ci/pipeline/gtfv3_config.py:6-32,
+src/tcn/ci/pipeline/held_suarez.py:142-218) - with one serializable tree:
+experiment -> model -> mesh -> run lengths (SURVEY.md SS5 "Config/flag
+system" lesson).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class DycoreConfig:
+    """Numerical configuration of the finite-volume dynamical core."""
+
+    npx: int = 48           # cells per cube-face edge (c48 -> npx=48)
+    npz: int = 32           # vertical layers
+    ptop: float = 100.0     # model-top pressure [Pa]
+    dt: float = 600.0       # physics/remap timestep [s]
+    k_split: int = 1        # vertical remap loops per dt
+    n_split: int = 6        # dynamics substeps per remap loop
+    hord: int = 8           # horizontal advection: 8=monotone PPM, 6=unlimited
+    kord: int = 8           # vertical remap PPM variant (monotone)
+    d2_bg: float = 0.015    # 2nd-order divergence damping coefficient
+    vtx_damp: float = 0.0   # optional vorticity damping
+    hydrostatic: bool = True
+    ntracers: int = 1
+    halo: int = 3
+    vertical: str = "hybrid"  # "sigma" | "hybrid"
+    dtype: str = "float32"  # reference runs PACE_FLOAT_PRECISION=32
+                            # (/root/reference/src/tcn/ci/pipeline/gtfv3_config.py:11)
+
+    @property
+    def grid_points(self) -> int:
+        return 6 * self.npx * self.npx * self.npz
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout: how the cubed sphere maps onto TPU chips.
+
+    The reference's analog is the MPI layout matrix (1x1/3x4/4x4 per face;
+    /root/reference/src/tcn/ci/README.md:7-12).  Axes:
+      face: 1 or 6   - shard the 6 faces
+      x, y: subtile decomposition within a face
+    Total devices = face * x * y.
+    """
+
+    face: int = 1
+    x: int = 1
+    y: int = 1
+
+    @property
+    def n_devices(self) -> int:
+        return self.face * self.x * self.y
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    steps: int = 8
+    warmup_steps: int = 1
+    checkpoint_every: int = 0   # 0 = off
+    log_every: int = 0
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "held_suarez_c48"
+    model: str = "held_suarez"  # "held_suarez" | "aquaplanet"
+    dycore: DycoreConfig = field(default_factory=DycoreConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "ExperimentConfig":
+        d = dict(d)
+        for key, sub in (("dycore", DycoreConfig), ("mesh", MeshConfig), ("run", RunConfig)):
+            if key in d and isinstance(d[key], dict):
+                d[key] = sub(**d[key])
+        return cls(**d)
