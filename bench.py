@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Headline benchmark: grid-points/s/chip on c48 Held-Suarez (BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is measured against the recorded number in
+`bench_baseline.json` (first TPU measurement of round 1); >1.0 means faster
+than that anchor.  The reference publishes no absolute throughput numbers
+(BASELINE.json `published: {}`), so the anchor is our own round-1 mark.
+"""
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from geosongpu_tpu.core.config import DycoreConfig
+    from geosongpu_tpu.models.held_suarez import build_model
+
+    npx = int(os.environ.get("BENCH_NPX", "48"))
+    npz = int(os.environ.get("BENCH_NPZ", "32"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+
+    cfg = DycoreConfig(npx=npx, npz=npz, dt=600.0, n_split=6)
+    model = build_model(cfg)
+    state = model.init(perturb=1e-3)
+
+    # warm-up (compile), excluded - mirrors the reference's cache-build run
+    state = model.step_fn(state)
+    state.u.block_until_ready()
+
+    times = []
+    for _ in range(steps):
+        t0 = time.perf_counter()
+        state = model.step_fn(state)
+        state.u.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    med = sorted(times)[len(times) // 2]
+    gps = cfg.grid_points / med
+
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_baseline.json")
+    vs = 1.0
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        anchor = base.get("grid_points_per_s", 0.0)
+        if anchor > 0:
+            vs = gps / anchor
+
+    print(json.dumps({
+        "metric": f"grid-points/s/chip c{npx}-L{npz} Held-Suarez",
+        "value": round(gps, 1),
+        "unit": "gridpoints/s",
+        "vs_baseline": round(vs, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,139 @@
+"""Full hydrostatic FV dynamics step: acoustic substeps + vertical remap.
+
+The TPU-owned equivalent of the external gtFV3 `fv_dynamics` the reference
+CI validates/benchmarks per timestep (hot-loop contract in SURVEY.md SS3.3;
+state vector /root/reference/src/tcn/py_ftn_interface/example_def_dycore.yaml:46-70).
+
+Structure per model timestep `dt`:
+    k_split x [ n_split x d_sw acoustic substep  ->  vertical remap ]
+then diagnostics (ps, pe, pk, ua/va, omga) are refreshed.
+
+Everything is one jit-traceable pure function over the DycoreState pytree;
+substeps are unrolled Python loops (static n_split) so XLA fuses across
+them.  D-grid winds are remapped on their own staggered columns (delp
+averaged to the staggered points), as in FV3's Lagrangian_to_Eulerian.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DycoreConfig
+from ..core.grid import Grid, KAPPA
+from ..core.state import DycoreState
+from ..ops.remap import remap_field
+from ..parallel.halo import HaloOps, build_halo_ops
+from .sw import PaddedMetrics, d_sw_substep, fill_substep, padded_metrics
+
+
+class DycoreContext(NamedTuple):
+    """Static (trace-time constant) data for the dynamics."""
+
+    ops: HaloOps
+    metrics: PaddedMetrics
+    ak: jnp.ndarray  # [K+1]
+    bk: jnp.ndarray
+    config: DycoreConfig
+
+
+def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
+                  bk: np.ndarray) -> DycoreContext:
+    return DycoreContext(
+        ops=build_halo_ops(config.npx, config.halo),
+        metrics=padded_metrics(grid),
+        ak=jnp.asarray(ak),
+        bk=jnp.asarray(bk),
+        config=config,
+    )
+
+
+def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, n, kord):
+    """Remap D-grid winds on their own staggered columns."""
+    # delp at u-points (average across the y-interface), interior + the
+    # face-boundary interfaces (uses one halo row)
+    dpu = 0.5 * (delp_padded[:, h - 1:h + n, h:h + n] +
+                 delp_padded[:, h:h + n + 1, h:h + n])  # [6, n+1, n, K]
+    pe1u = jnp.concatenate(
+        [jnp.zeros_like(dpu[..., :1]), jnp.cumsum(dpu, axis=-1)], axis=-1)
+    pe1u = pe1u + ptop
+    pe2u = ak + bk * pe1u[..., -1:]
+    u_new = remap_field(u, pe1u, pe2u, kord)
+
+    dpv = 0.5 * (delp_padded[:, h:h + n, h - 1:h + n] +
+                 delp_padded[:, h:h + n, h:h + n + 1])  # [6, n, n+1, K]
+    pe1v = jnp.concatenate(
+        [jnp.zeros_like(dpv[..., :1]), jnp.cumsum(dpv, axis=-1)], axis=-1)
+    pe1v = pe1v + ptop
+    pe2v = ak + bk * pe1v[..., -1:]
+    v_new = remap_field(v, pe1v, pe2v, kord)
+    return u_new, v_new
+
+
+def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
+    cfg = ctx.config
+    ops, m = ctx.ops, ctx.metrics
+    h, n = cfg.halo, cfg.npx
+    dt_acoustic = cfg.dt / (cfg.k_split * cfg.n_split)
+
+    u, v = state.u, state.v
+    delp, pt, q = state.delp, state.pt, state.q
+    mfx_acc = jnp.zeros_like(state.mfx)
+    mfy_acc = jnp.zeros_like(state.mfy)
+    uc = vc = None
+
+    for _ks in range(cfg.k_split):
+        for _ns in range(cfg.n_split):
+            s = fill_substep(ops, u, v, delp, pt, q)
+            out = d_sw_substep(s, m, ops, dt_acoustic, cfg.ptop,
+                               hord=cfg.hord, d2_bg=cfg.d2_bg)
+            u, v, delp, pt, q = out.u, out.v, out.delp, out.pt, out.q
+            mfx_acc = mfx_acc + out.mfx
+            mfy_acc = mfy_acc + out.mfy
+            uc, vc = out.uc, out.vc
+
+        # ---- vertical remap back to the reference hybrid coordinate ----
+        pe1 = cfg.ptop + jnp.concatenate(
+            [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)],
+            axis=-1)
+        ps = pe1[..., -1]
+        pe2 = ctx.ak + ctx.bk * ps[..., None]
+        delp_new = pe2[..., 1:] - pe2[..., :-1]
+        pt = remap_field(pt, pe1, pe2, cfg.kord)
+        if q is not None:
+            qs = jnp.moveaxis(q, -1, 0)
+            qs = jnp.stack(
+                [remap_field(qs[t], pe1, pe2, cfg.kord)
+                 for t in range(qs.shape[0])], axis=0)
+            q = jnp.moveaxis(qs, 0, -1)
+        dpad = ops.fill(delp, "x")
+        u, v = _remap_winds(u, v, dpad, ctx.ak, ctx.bk, cfg.ptop, h, n,
+                            cfg.kord)
+        delp = delp_new
+
+    # ---- diagnostics ----------------------------------------------------
+    pe = cfg.ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    ps = pe[..., -1]
+    ua = 0.5 * (u[:, :-1, :] + u[:, 1:, :])
+    va = 0.5 * (v[:, :, :-1] + v[:, :, 1:])
+
+    return DycoreState(
+        u=u, v=v, delp=delp, pt=pt, q=q,
+        w=state.w, delz=state.delz, phis=state.phis,
+        ps=ps,
+        omga=state.omga,
+        ua=ua, va=va,
+        mfx=mfx_acc, mfy=mfy_acc,
+    )
+
+
+def exner_mid(delp: jnp.ndarray, ptop: float) -> jnp.ndarray:
+    """Layer-mean Exner function pkz (T = pt * pkz)."""
+    pe = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pk = (pe / 1.0e5) ** KAPPA
+    peln = jnp.log(pe)
+    return (pk[..., 1:] - pk[..., :-1]) / (
+        KAPPA * (peln[..., 1:] - peln[..., :-1]))

@@ -1,0 +1,326 @@
+"""C/D-grid finite-volume layer dynamics (the shallow-water core).
+
+TPU-native re-design of the gtFV3 c_sw/d_sw pair the reference CI exists to
+validate (SURVEY.md SS0; state contract
+/root/reference/src/tcn/py_ftn_interface/example_def_dycore.yaml:46-70).
+
+One acoustic substep is the Lin-Rood two-grid scheme:
+
+  c_sw (dt/2, C-grid): interpolate D-winds to C-grid normal winds; advance
+      delp/pt a half step with 1st-order upwind fluxes; update the C-grid
+      winds with vorticity, kinetic-energy and hydrostatic-PGF terms - all
+      *compact* on the C-grid (cell-center gradients straddle interfaces).
+      Result: time-centered advective winds uc*, vc*.
+
+  d_sw (dt, D-grid): monotone-PPM mass/pt/tracer fluxes with Lin-Rood 2-D
+      inner updates, driven by uc*/vc*; vector-invariant D-grid wind update
+      where the transverse advective wind sits exactly *at* the D-point
+      (vc* lives on y-interfaces = u-points), KE at corners from the
+      centered winds, hydrostatic PGF from the *updated* delp/pt (the
+      backward half of the forward-backward gravity-wave coupling), and
+      2nd-order divergence damping on the corner-dual divergence.
+
+Deviations from FV3 (round 1, documented): vorticity lives at cell centers
+(primal circulation; validated in tests/test_halo_ops.py) and its flux uses
+2-pt averaging instead of PPM upwinding; the metric is treated as locally
+orthogonal (no cosa/sina corrections).
+
+Everything is elementwise/stencil math on [6, J, I, K] padded arrays: XLA
+fuses it into a few VPU passes over (x, K) tiles; the halo gathers at the
+top of the substep are the only non-local ops.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from ..core.grid import CP_AIR, KAPPA, Grid
+from ..ops.fvtp2d import ddx, ddy, fvtp2d
+from ..ops.ppm import upwind_flux
+from ..parallel.halo import HaloOps
+
+P00 = 1.0e5
+
+
+class PaddedMetrics(NamedTuple):
+    """Device-resident padded grid arrays used every substep."""
+
+    area: jnp.ndarray    # [6, N, N, 1]
+    rarea: jnp.ndarray
+    dx: jnp.ndarray      # [6, N+1, N, 1] x-edge lengths (u-point rows)
+    dy: jnp.ndarray      # [6, N, N+1, 1]
+    dxc: jnp.ndarray     # [6, N, N+1, 1] center dist across x-interfaces
+    dyc: jnp.ndarray     # [6, N+1, N, 1]
+    fcor: jnp.ndarray    # [6, N, N, 1] Coriolis at centers
+    rarea_c: jnp.ndarray  # [6, N+1, N+1, 1] 1/(dual corner-cell area)
+
+
+def padded_metrics(grid: Grid) -> PaddedMetrics:
+    a = lambda x: jnp.asarray(x)[..., None]
+    ap = jnp.pad(jnp.asarray(grid.area), ((0, 0), (1, 1), (1, 1)), mode="edge")
+    area_c = 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
+    return PaddedMetrics(
+        area=a(grid.area),
+        rarea=a(grid.rarea),
+        dx=a(grid.dx),
+        dy=a(grid.dy),
+        dxc=a(grid.dxc),
+        dyc=a(grid.dyc),
+        fcor=a(grid.fcor),
+        rarea_c=(1.0 / area_c)[..., None],
+    )
+
+
+class SWState(NamedTuple):
+    """Padded prognostic fields for one substep."""
+
+    pu: jnp.ndarray     # [6, N+1, N, K] D-grid u
+    pv: jnp.ndarray     # [6, N, N+1, K]
+    pd_x: jnp.ndarray   # [6, N, N, K] delp (x-corner fill)
+    pd_y: jnp.ndarray
+    pt_x: jnp.ndarray
+    pt_y: jnp.ndarray
+    pq_x: Optional[jnp.ndarray]  # tracers [6, N, N, K, T]
+    pq_y: Optional[jnp.ndarray]
+
+
+def fill_substep(ops: HaloOps, u, v, delp, pt, q) -> SWState:
+    pu, pv = ops.fill_dgrid(u, v)
+    return SWState(
+        pu=pu,
+        pv=pv,
+        pd_x=ops.fill(delp, "x"),
+        pd_y=ops.fill(delp, "y"),
+        pt_x=ops.fill(pt, "x"),
+        pt_y=ops.fill(pt, "y"),
+        pq_x=None if q is None else ops.fill(q, "x"),
+        pq_y=None if q is None else ops.fill(q, "y"),
+    )
+
+
+# --------------------------------------------------------------------------
+# staggering helpers (padded arrays)
+# --------------------------------------------------------------------------
+
+def _avg_u_to_center(pu):
+    return 0.5 * (pu[:, :-1, :] + pu[:, 1:, :])
+
+
+def _avg_v_to_center(pv):
+    return 0.5 * (pv[:, :, :-1] + pv[:, :, 1:])
+
+
+def _center_to_xiface(a):
+    mid = 0.5 * (a[:, :, :-1] + a[:, :, 1:])
+    return jnp.concatenate([a[:, :, :1], mid, a[:, :, -1:]], axis=2)
+
+
+def _center_to_yiface(a):
+    mid = 0.5 * (a[:, :-1, :] + a[:, 1:, :])
+    return jnp.concatenate([a[:, :1, :], mid, a[:, -1:, :]], axis=1)
+
+
+def _center_to_corner(a):
+    ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1)) + ((0, 0),) * (a.ndim - 3),
+                 mode="edge")
+    return 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
+
+
+def _vorticity_abs(pu, pv, m: PaddedMetrics):
+    """Absolute vorticity at cell centers (primal-cell circulation)."""
+    circ = (pu[:, :-1, :] * m.dx[:, :-1, :]
+            + pv[:, :, 1:] * m.dy[:, :, 1:]
+            - pu[:, 1:, :] * m.dx[:, 1:, :]
+            - pv[:, :, :-1] * m.dy[:, :, :-1])
+    return circ * m.rarea + m.fcor
+
+
+def _hydrostatic_fields(delp, pt, ptop):
+    """pe -> Exner pkz and layer-mid geopotential (flat terrain)."""
+    pe = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pk_iface = (pe / P00) ** KAPPA
+    peln = jnp.log(pe)
+    pkz = (pk_iface[..., 1:] - pk_iface[..., :-1]) / (
+        KAPPA * (peln[..., 1:] - peln[..., :-1]))
+    dphi = CP_AIR * pt * (pk_iface[..., 1:] - pk_iface[..., :-1])
+    phi_below_incl = jnp.cumsum(dphi[..., ::-1], axis=-1)[..., ::-1]
+    phi_mid = phi_below_incl - 0.5 * dphi
+    return pkz, phi_mid
+
+
+# --------------------------------------------------------------------------
+# c_sw: half-step -> time-centered C-grid winds
+# --------------------------------------------------------------------------
+
+def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float):
+    """Returns (uc*, vc*): advective winds at t + dt/2 on the C-grid."""
+    ua = _avg_u_to_center(s.pu)
+    va = _avg_v_to_center(s.pv)
+    uc = _center_to_xiface(ua)              # [6, N, N+1, K]
+    vc = _center_to_yiface(va)              # [6, N+1, N, K]
+
+    # half-step upwind mass/pt update
+    crx = uc * dt2 / m.dxc
+    cry = vc * dt2 / m.dyc
+    fx_m = upwind_flux(s.pd_x, crx, axis=2) * uc * dt2 * m.dy
+    fy_m = upwind_flux(s.pd_y, cry, axis=1) * vc * dt2 * m.dx
+    delp_h = s.pd_x + (ddx(fx_m) + ddy(fy_m)) * m.rarea
+    fx_t = upwind_flux(s.pt_x, crx, axis=2) * fx_m
+    fy_t = upwind_flux(s.pt_y, cry, axis=1) * fy_m
+    pt_h = (s.pt_x * s.pd_x + (ddx(fx_t) + ddy(fy_t)) * m.rarea) / delp_h
+
+    # backward PGF from half-updated fields; compact C-grid gradients
+    pkz, phi = _hydrostatic_fields(delp_h, pt_h, ptop)
+    ke = 0.5 * (ua * ua + va * va)
+    vort = _vorticity_abs(s.pu, s.pv, m)
+
+    # x-interface update (interior interfaces [1, N-1]; edges left unchanged)
+    ptx = 0.5 * (pt_h[:, :, :-1] + pt_h[:, :, 1:])
+    gx = ((phi[:, :, 1:] - phi[:, :, :-1])
+          + CP_AIR * ptx * (pkz[:, :, 1:] - pkz[:, :, :-1])) / m.dxc[:, :, 1:-1]
+    kex = (ke[:, :, 1:] - ke[:, :, :-1]) / m.dxc[:, :, 1:-1]
+    vortx = 0.5 * (vort[:, :, :-1] + vort[:, :, 1:])
+    # vc at the x-interface: average 4 surrounding y-interface values
+    vcx = 0.25 * (vc[:, :-1, :-1] + vc[:, :-1, 1:]
+                  + vc[:, 1:, :-1] + vc[:, 1:, 1:])
+    uc_t = uc.at[:, :, 1:-1].add(dt2 * (vortx * vcx - kex - gx))
+
+    # y-interface update
+    pty = 0.5 * (pt_h[:, :-1, :] + pt_h[:, 1:, :])
+    gy = ((phi[:, 1:, :] - phi[:, :-1, :])
+          + CP_AIR * pty * (pkz[:, 1:, :] - pkz[:, :-1, :])) / m.dyc[:, 1:-1, :]
+    key = (ke[:, 1:, :] - ke[:, :-1, :]) / m.dyc[:, 1:-1, :]
+    vorty = 0.5 * (vort[:, :-1, :] + vort[:, 1:, :])
+    ucy = 0.25 * (uc[:, :-1, :-1] + uc[:, :-1, 1:]
+                  + uc[:, 1:, :-1] + uc[:, 1:, 1:])
+    vc_t = vc.at[:, 1:-1, :].add(dt2 * (-vorty * ucy - key - gy))
+
+    return uc_t, vc_t
+
+
+# --------------------------------------------------------------------------
+# d_sw: full substep
+# --------------------------------------------------------------------------
+
+class SubstepOut(NamedTuple):
+    u: jnp.ndarray        # interior D-grid u [6, n+1, n, K]
+    v: jnp.ndarray
+    delp: jnp.ndarray     # interior [6, n, n, K]
+    pt: jnp.ndarray
+    q: Optional[jnp.ndarray]
+    mfx: jnp.ndarray      # interior x mass fluxes
+    mfy: jnp.ndarray
+    uc: jnp.ndarray       # interior time-centered C-grid winds
+    vc: jnp.ndarray
+
+
+def d_sw_substep(
+    s: SWState,
+    m: PaddedMetrics,
+    ops: HaloOps,
+    dt: float,
+    ptop: float,
+    hord: int = 8,
+    d2_bg: float = 0.015,
+) -> SubstepOut:
+    """One forward-backward acoustic substep on padded fields."""
+    h, n = ops.h, ops.n
+    islice = (slice(None), slice(h, h + n), slice(h, h + n))
+    isliceu = (slice(None), slice(h, h + n + 1), slice(h, h + n))
+    islicev = (slice(None), slice(h, h + n), slice(h, h + n + 1))
+
+    # ---- time-centered advective winds ---------------------------------
+    uct, vct = c_sw(s, m, 0.5 * dt, ptop)
+
+    crx = uct * dt / m.dxc
+    cry = vct * dt / m.dyc
+    xfx = uct * dt * m.dy
+    yfx = vct * dt * m.dx
+
+    # ---- mass fluxes + conservative updates ----------------------------
+    mf = fvtp2d(s.pd_x, s.pd_y, crx, cry, xfx, yfx, m.area, hord=hord)
+    delp_new = s.pd_x + (ddx(mf.fx) + ddy(mf.fy)) * m.rarea
+
+    tf = fvtp2d(s.pt_x, s.pt_y, crx, cry, xfx, yfx, m.area, hord=hord,
+                mfx=mf.fx, mfy=mf.fy)
+    pt_new = (s.pt_x * s.pd_x + (ddx(tf.fx) + ddy(tf.fy)) * m.rarea) / delp_new
+
+    if s.pq_x is not None:
+        T = s.pq_x.shape[-1]
+        qs = []
+        for t in range(T):
+            qf = fvtp2d(s.pq_x[..., t], s.pq_y[..., t], crx, cry, xfx, yfx,
+                        m.area, hord=hord, mfx=mf.fx, mfy=mf.fy)
+            qdp = s.pq_x[..., t] * s.pd_x + (ddx(qf.fx) + ddy(qf.fy)) * m.rarea
+            qs.append(qdp / delp_new)
+        q_new = jnp.stack(qs, axis=-1)
+    else:
+        q_new = None
+
+    # ---- hydrostatic PGF from updated mass/temperature (backward) -------
+    pkz, phi_mid = _hydrostatic_fields(delp_new, pt_new, ptop)
+    phi_c = _center_to_corner(phi_mid)
+    pkz_c = _center_to_corner(pkz)
+    pt_c = _center_to_corner(pt_new)
+
+    # ---- KE (corners, centered winds) + vorticity + divergence ----------
+    ub = 0.5 * (uct[:, :-1, :] + uct[:, 1:, :])   # corner [6, N-1, N+1, K]
+    ub = jnp.pad(ub, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+    vb = 0.5 * (vct[:, :, :-1] + vct[:, :, 1:])   # corner [6, N+1, N-1, K]
+    vb = jnp.pad(vb, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+    ke_c = 0.5 * (ub * ub + vb * vb)              # [6, N+1, N+1, K]
+
+    vort_abs = _vorticity_abs(s.pu, s.pv, m)      # centers
+
+    upad, vpad = s.pu, s.pv
+    du = upad[:, :, 1:] - upad[:, :, :-1]
+    dv = vpad[:, 1:, :] - vpad[:, :-1, :]
+    dx_u = 0.5 * (m.dx[:, 1:-1, :-1] + m.dx[:, 1:-1, 1:])
+    dy_v = 0.5 * (m.dy[:, :-1, 1:-1] + m.dy[:, 1:, 1:-1])
+    div_core = du[:, 1:-1, :] / dx_u + dv[:, :, 1:-1] / dy_v
+    div_c = jnp.pad(div_core, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+
+    # ---- D-grid wind update --------------------------------------------
+    # u-points: transverse advective wind vct lives exactly there
+    vort_u = 0.5 * (vort_abs[:, :-1, :] + vort_abs[:, 1:, :])
+    dke_x = (ke_c[:, :, 1:] - ke_c[:, :, :-1]) / m.dx
+    pt_u = 0.5 * (pt_c[:, :, 1:] + pt_c[:, :, :-1])
+    pgf_x = ((phi_c[:, :, 1:] - phi_c[:, :, :-1])
+             + CP_AIR * pt_u * (pkz_c[:, :, 1:] - pkz_c[:, :, :-1])) / m.dx
+    damp_x = d2_bg * m.dx * m.dx / dt
+    ddiv_x = damp_x * (div_c[:, :, 1:] - div_c[:, :, :-1]) / m.dx
+
+    u_new = upad.at[:, 1:-1, :].add(dt * (
+        vort_u * vct[:, 1:-1, :]
+        - dke_x[:, 1:-1, :]
+        - pgf_x[:, 1:-1, :]
+        + ddiv_x[:, 1:-1, :]))
+
+    # v-points
+    vort_v = 0.5 * (vort_abs[:, :, :-1] + vort_abs[:, :, 1:])
+    dke_y = (ke_c[:, 1:, :] - ke_c[:, :-1, :]) / m.dy
+    pt_v = 0.5 * (pt_c[:, 1:, :] + pt_c[:, :-1, :])
+    pgf_y = ((phi_c[:, 1:, :] - phi_c[:, :-1, :])
+             + CP_AIR * pt_v * (pkz_c[:, 1:, :] - pkz_c[:, :-1, :])) / m.dy
+    damp_y = d2_bg * m.dy * m.dy / dt
+    ddiv_y = damp_y * (div_c[:, 1:, :] - div_c[:, :-1, :]) / m.dy
+
+    v_new = vpad.at[:, :, 1:-1].add(dt * (
+        -vort_v * uct[:, :, 1:-1]
+        - dke_y[:, :, 1:-1]
+        - pgf_y[:, :, 1:-1]
+        + ddiv_y[:, :, 1:-1]))
+
+    return SubstepOut(
+        u=u_new[isliceu],
+        v=v_new[islicev],
+        delp=delp_new[islice],
+        pt=pt_new[islice],
+        q=None if q_new is None else q_new[islice],
+        mfx=mf.fx[:, h:h + n, h:h + n + 1],
+        mfy=mf.fy[:, h:h + n + 1, h:h + n],
+        uc=uct[:, h:h + n, h:h + n + 1],
+        vc=vct[:, h:h + n + 1, h:h + n],
+    )

@@ -8,16 +8,26 @@ Scheme: each direction's flux is computed from the field fully advected in
 the *other* direction (advective inner update), which restores the 2-D
 cross terms of the splitting to 2nd order:
 
-    q_i = inner y-advection of q   ->  fx = PPM_x(q_i) * x_area_flux
-    q_j = inner x-advection of q   ->  fy = PPM_y(q_j) * y_area_flux
+    q_i = inner y-advection of q   ->  fx = PPM_x(q_i) * (x mass/area flux)
+    q_j = inner x-advection of q   ->  fy = PPM_y(q_j) * (y flux)
 
-All arrays are padded [6, J, I, K]; only interior fluxes are valid (the
-inner updates cover the halo strips the outer PPM stencil needs - halo
+Cube-corner handling: the inner sweeps read the halo corner blocks, whose
+ownership is direction-dependent (core/topology.py), so the caller passes
+two padded copies of the field - `qx` (x-order corners, feeds the x inner
+sweep) and `qy` (y-order corners, feeds the y inner sweep).  They differ
+only on the 4 h x h corner blocks per face.
+
+Mass consistency: when `mfx`/`mfy` (mass fluxes) are given, the returned
+fluxes are PPM-value * mass-flux while the *inner updates* still use the
+area fluxes - exactly FV3's recipe, which preserves q == const exactly
+(PPM of a constant is the constant, so fx == mfx).
+
+All arrays are padded [6, J, I, K]; only interior fluxes are valid (halo
 width 3 is exactly sufficient, as in FV3).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -28,61 +38,43 @@ _AX_X = 2  # i axis
 
 
 class Fluxes2D(NamedTuple):
-    fx: jnp.ndarray  # area-weighted q-flux through W/E interfaces [6, J, I+1, K]
+    fx: jnp.ndarray  # q-flux through W/E interfaces [6, J, I+1, K]
     fy: jnp.ndarray  # through S/N interfaces [6, J+1, I, K]
 
 
-def _ddx(iface: jnp.ndarray) -> jnp.ndarray:
-    """Convergence along x: F[i] - F[i+1] per cell."""
+def ddx(iface: jnp.ndarray) -> jnp.ndarray:
+    """Flux convergence along x: F[i] - F[i+1] per cell."""
     return iface[:, :, :-1] - iface[:, :, 1:]
 
 
-def _ddy(iface: jnp.ndarray) -> jnp.ndarray:
+def ddy(iface: jnp.ndarray) -> jnp.ndarray:
     return iface[:, :-1, :] - iface[:, 1:, :]
 
 
 def fvtp2d(
-    q: jnp.ndarray,        # padded cell means [6, J, I, K]
+    qx: jnp.ndarray,       # padded field, x-order corners [6, J, I, K]
+    qy: jnp.ndarray,       # padded field, y-order corners (same off corners)
     crx: jnp.ndarray,      # Courant at x-interfaces [6, J, I+1, K]
     cry: jnp.ndarray,      # Courant at y-interfaces [6, J+1, I, K]
-    xfx: jnp.ndarray,      # area flux (swept area) through x-interfaces, same shape as crx
-    yfx: jnp.ndarray,      # area flux through y-interfaces, same shape as cry
-    area: jnp.ndarray,     # padded cell areas [6, J, I] (or broadcastable with K)
+    xfx: jnp.ndarray,      # area flux (swept area) through x-interfaces
+    yfx: jnp.ndarray,      # area flux through y-interfaces
+    area: jnp.ndarray,     # padded cell areas [6, J, I] or [6, J, I, 1]
     hord: int = 8,
+    mfx: Optional[jnp.ndarray] = None,  # mass flux to weight fx (default xfx)
+    mfy: Optional[jnp.ndarray] = None,
 ) -> Fluxes2D:
-    """Return area-weighted tracer fluxes; the caller updates
-    q_new = (q*delta + fx_conv + fy_conv) / delta_new for whatever density
-    weighting it uses (pure area for advection tests, delp*area for mass)."""
     if area.ndim == 3:
         area = area[..., None]
 
-    # inner advective updates (full dt, upstream PPM, mass-consistent denom)
-    fyy = ppm_flux(q, cry, axis=_AX_Y, hord=hord) * yfx
-    ra_y = area + _ddy(yfx)
-    q_i = (q * area + _ddy(fyy)) / ra_y
+    # inner advective updates (full dt, mass-consistent denominator)
+    fyy = ppm_flux(qy, cry, axis=_AX_Y, hord=hord) * yfx
+    ra_y = area + ddy(yfx)
+    q_i = (qy * area + ddy(fyy)) / ra_y
 
-    fxx = ppm_flux(q, crx, axis=_AX_X, hord=hord) * xfx
-    ra_x = area + _ddx(xfx)
-    q_j = (q * area + _ddx(fxx)) / ra_x
+    fxx = ppm_flux(qx, crx, axis=_AX_X, hord=hord) * xfx
+    ra_x = area + ddx(xfx)
+    q_j = (qx * area + ddx(fxx)) / ra_x
 
-    fx = ppm_flux(q_i, crx, axis=_AX_X, hord=hord) * xfx
-    fy = ppm_flux(q_j, cry, axis=_AX_Y, hord=hord) * yfx
+    fx = ppm_flux(q_i, crx, axis=_AX_X, hord=hord) * (xfx if mfx is None else mfx)
+    fy = ppm_flux(q_j, cry, axis=_AX_Y, hord=hord) * (yfx if mfy is None else mfy)
     return Fluxes2D(fx=fx, fy=fy)
-
-
-def advect_scalar(
-    q: jnp.ndarray,
-    crx: jnp.ndarray,
-    cry: jnp.ndarray,
-    xfx: jnp.ndarray,
-    yfx: jnp.ndarray,
-    area: jnp.ndarray,
-    hord: int = 8,
-) -> jnp.ndarray:
-    """One conservative 2-D advection step of a cell-mean scalar (constant
-    density): returns the updated *interior-valid* padded field (halo values
-    are stale; caller re-fills)."""
-    if area.ndim == 3:
-        area = area[..., None]
-    fx, fy = fvtp2d(q, crx, cry, xfx, yfx, area, hord)
-    return q + (_ddx(fx) + _ddy(fy)) / area

@@ -35,8 +35,13 @@ def _ppm_edges_k(q: jnp.ndarray, dp: jnp.ndarray):
     lo = jnp.minimum(qm, qp)
     hi = jnp.maximum(qm, qp)
     e = jnp.clip(e, lo, hi)
-    top = q[..., :1]
-    bot = q[..., -1:]
+    # one-sided 2nd-order boundary edges: linear extrapolation from the two
+    # nearest layer means through the midpoint spacing (a cell-mean edge is
+    # only 1st order and visibly degrades thin boundary target layers)
+    s_top = (q[..., 1:2] - q[..., :1]) / (0.5 * (dp[..., :1] + dp[..., 1:2]))
+    top = q[..., :1] - s_top * 0.5 * dp[..., :1]
+    s_bot = (q[..., -1:] - q[..., -2:-1]) / (0.5 * (dp[..., -1:] + dp[..., -2:-1]))
+    bot = q[..., -1:] + s_bot * 0.5 * dp[..., -1:]
     edges = jnp.concatenate([top, e, bot], axis=-1)  # [..., K+1]
     aL = edges[..., :-1]
     aR = edges[..., 1:]

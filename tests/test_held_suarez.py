@@ -1,0 +1,70 @@
+"""Held-Suarez model smoke tests: the c12 ladder rung from BASELINE.md
+('c12 HS CPU-reference'), run small enough for CI."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geosongpu_tpu.core.config import DycoreConfig
+from geosongpu_tpu.dycore.fv_dynamics import fv_dynamics_step
+from geosongpu_tpu.models.held_suarez import build_model
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = DycoreConfig(npx=8, npz=12, dt=1200.0, n_split=6)
+    return build_model(cfg)
+
+
+def test_well_balanced_rest_state(model):
+    """An isothermal resting atmosphere must stay exactly at rest under
+    pure dynamics (discrete hydrostatic balance)."""
+    st = model.init(perturb=0.0)
+    s = jax.jit(lambda x: fv_dynamics_step(x, model.ctx))(st)
+    assert float(jnp.abs(s.u).max()) == 0.0
+    assert float(jnp.abs(s.v).max()) == 0.0
+    np.testing.assert_allclose(np.asarray(s.ps), 1.0e5, rtol=1e-6)
+
+
+def test_mass_conservation_pure_dynamics(model):
+    st = model.init(perturb=0.5)
+    w = np.asarray(model.grid.area)[model.grid.interior][..., None]
+    dyn = jax.jit(lambda x: fv_dynamics_step(x, model.ctx))
+    m0 = float((w * np.asarray(st.delp)).sum())
+    s = st
+    for _ in range(10):
+        s = dyn(s)
+    m1 = float((w * np.asarray(s.delp)).sum())
+    assert abs(m1 - m0) / m0 < 1e-5
+
+
+def test_short_run_stable_and_physical(model):
+    """2 simulated days with forcing: finite fields, bounded winds, surface
+    pressure in a physical range."""
+    st = model.init(perturb=0.01)
+    final, diag = jax.jit(lambda s: model.run_with_history(s, 144))(st)
+    assert bool(jnp.isfinite(final.pt).all())
+    assert bool(jnp.isfinite(final.u).all())
+    umax = float(np.asarray(diag["umax"])[-1])
+    assert umax < 40.0, f"runaway winds: {umax}"
+    ps = np.asarray(final.ps)
+    assert ps.min() > 9.0e4 and ps.max() < 1.1e5
+
+
+def test_forcing_moves_t_toward_equilibrium(model):
+    """With forcing, tropical lower-level air must warm relative to poles
+    within a few days (Teq structure emerging)."""
+    st = model.init(perturb=0.0)
+    s = st
+    for _ in range(72):  # 1 day
+        s = model.step_fn(s)
+    from geosongpu_tpu.dycore.fv_dynamics import exner_mid
+
+    t = np.asarray(s.pt * exner_mid(s.delp, model.config.ptop))
+    lat = np.asarray(model.lats.lat_c)
+    low = t[..., -1]  # lowest layer
+    trop = low[np.abs(lat) < 0.3].mean()
+    pole = low[np.abs(lat) > 1.1].mean()
+    assert trop > pole + 1.5, (trop, pole)
