@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,15 +84,29 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     mfy_acc = jnp.zeros_like(state.mfy)
     uc = vc = None
 
+    has_q = q is not None
+
+    def substep(carry, _):
+        u, v, delp, pt, q, mfx_acc, mfy_acc = carry
+        s = fill_substep(ops, u, v, delp, pt, q if has_q else None)
+        out = d_sw_substep(s, m, ops, dt_acoustic, cfg.ptop,
+                           hord=cfg.hord, d2_bg=cfg.d2_bg)
+        return (out.u, out.v, out.delp, out.pt,
+                out.q if has_q else q,
+                mfx_acc + out.mfx, mfy_acc + out.mfy), (out.uc, out.vc)
+
     for _ks in range(cfg.k_split):
-        for _ns in range(cfg.n_split):
-            s = fill_substep(ops, u, v, delp, pt, q)
-            out = d_sw_substep(s, m, ops, dt_acoustic, cfg.ptop,
-                               hord=cfg.hord, d2_bg=cfg.d2_bg)
-            u, v, delp, pt, q = out.u, out.v, out.delp, out.pt, out.q
-            mfx_acc = mfx_acc + out.mfx
-            mfy_acc = mfy_acc + out.mfy
-            uc, vc = out.uc, out.vc
+        # scan over acoustic substeps: one compiled body instead of an
+        # n_split-times unrolled HLO (compile time matters on the tunnel)
+        carry = (u, v, delp, pt,
+                 q if has_q else jnp.zeros((), jnp.float32),
+                 mfx_acc, mfy_acc)
+        carry, (ucs, vcs) = jax.lax.scan(substep, carry, None,
+                                         length=cfg.n_split)
+        u, v, delp, pt, qq, mfx_acc, mfy_acc = carry
+        if has_q:
+            q = qq
+        uc, vc = ucs[-1], vcs[-1]
 
         # ---- vertical remap back to the reference hybrid coordinate ----
         pe1 = cfg.ptop + jnp.concatenate(

@@ -1,0 +1,45 @@
+"""Plot CLI (parity: /root/reference/src/tcn/plots/cli.py:8-42:
+plot FILE VAR [-d dim]... [--diff_with B] [-st t])."""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="geosongpu-tpu-plots")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pl = sub.add_parser("plot")
+    pl.add_argument("file")
+    pl.add_argument("variable")
+    pl.add_argument("-d", "--reduce_dim", type=int, action="append",
+                    default=[])
+    pl.add_argument("--diff_with", default=None)
+    pl.add_argument("-st", "--select_time", type=int, default=None)
+    pl.add_argument("--out", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "plot":
+        from ..validation.analysis import load_dataset
+        from .plot_field import plot
+
+        ds = load_dataset(args.file)
+        a = ds[args.variable]
+        if args.select_time is not None:
+            a = a[args.select_time]
+        b = None
+        if args.diff_with:
+            b = load_dataset(args.diff_with)[args.variable]
+            if args.select_time is not None:
+                b = b[args.select_time]
+        out = plot(a, args.variable, diff_with=b,
+                   reduce_dims=args.reduce_dim, out_png=args.out)
+        print(f"wrote {out}")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

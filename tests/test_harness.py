@@ -1,0 +1,101 @@
+"""Harness + observability subsystem tests (the reference had none of
+these: SURVEY.md SS4 'no unit tests for parser/report/hws analysis')."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from geosongpu_tpu.benchmark.timing import BenchmarkRecord, compare, report
+from geosongpu_tpu.harness.exceptions import CICheckException
+from geosongpu_tpu.harness.registry import Registry
+from geosongpu_tpu.harness.task import PipelineAction, dispatch, get_config
+
+
+def test_registry_roundtrip():
+    @Registry.register
+    class _TestTaskXyz:
+        pass
+
+    assert Registry.get("_TestTaskXyz") is _TestTaskXyz
+    with pytest.raises(KeyError):
+        Registry.get("definitely_not_registered")
+
+
+def test_experiment_lookup():
+    cfg = get_config("held_suarez_c12")
+    assert cfg["tasks"] == ["HeldSuarez"]
+    with pytest.raises(KeyError):
+        get_config("nope")
+
+
+def test_heartbeat_dispatch(tmp_path):
+    env = dispatch("ci-heartbeat", PipelineAction.All,
+                   artifact_directory=str(tmp_path / "art"),
+                   workspace=str(tmp_path / "ws"))
+    assert os.path.isfile(tmp_path / "ws" / "ci_metadata")
+    assert os.path.isfile(tmp_path / "art" / "ci_metadata")
+
+
+def test_benchmark_record_roundtrip(tmp_path):
+    rec = BenchmarkRecord(experiment="x", backend="cpu",
+                          grid={"npx": 48, "npz": 32},
+                          step_time_s=[0.1, 0.2, 0.15])
+    assert rec.median_step_s == 0.15
+    assert rec.grid_points == 6 * 48 * 48 * 32
+    p = str(tmp_path / "r.json")
+    rec.save(p)
+    back = BenchmarkRecord.load(p)
+    assert back.median_step_s == rec.median_step_s
+    txt = report([rec, back])
+    assert "median step" in txt
+    c = compare(rec, back)
+    assert abs(c["speedup_total_run"] - 1.0) < 1e-9
+
+
+def test_hws_sampler_and_energy(tmp_path):
+    from geosongpu_tpu.hws.analysis import energy_envelope, load_data
+    from geosongpu_tpu.hws.server import Sampler
+
+    s = Sampler(rate_s=0.01)
+    for _ in range(20):
+        s.sample_once()
+    s.tick()
+    path = s.dump(str(tmp_path))
+    data = load_data(path)
+    assert len(data["cpu_psu"]) == 20
+    rep = energy_envelope(data)
+    assert rep.cpu_joules > 0
+    assert rep.total_kwh >= rep.cpu_kwh
+
+
+def test_validation_analysis(tmp_path):
+    from geosongpu_tpu.validation.analysis import analysis, check_tolerance
+
+    rng = np.random.default_rng(0)
+    a = {"t": rng.standard_normal((6, 8, 8)).astype(np.float32)}
+    b = {"t": a["t"] + 1e-6}
+    rep = analysis(a, b, "t")
+    assert rep.rel_rms < 1e-4
+    assert check_tolerance(a, b, ["t"], rel_tol=1e-4)
+    bad = {"t": a["t"] + 0.5}
+    assert not check_tolerance(a, bad, ["t"], rel_tol=1e-4)
+
+
+def test_plot_field(tmp_path):
+    from geosongpu_tpu.plots.plot_field import plot
+
+    a = np.random.default_rng(0).standard_normal((6, 8, 8, 4))
+    out = plot(a, "testvar", out_png=str(tmp_path / "f.png"))
+    assert os.path.isfile(out)
+    out2 = plot(a, "testvar", diff_with=a, out_png=str(tmp_path / "d.png"))
+    assert os.path.isfile(out2)
+
+
+def test_run_status():
+    from geosongpu_tpu.validation.run_status import capture
+
+    st = capture({"a": 1}, repo_dir="/root/repo")
+    assert st.git_sha and len(st.git_sha) >= 7
+    st2 = capture({"a": 1}, repo_dir="/root/repo")
+    assert st.config_hash == st2.config_hash
