@@ -76,42 +76,30 @@ def remap_field(q: jnp.ndarray, pe1: jnp.ndarray, pe2: jnp.ndarray,
                 kord: int = 8) -> jnp.ndarray:
     """Conservatively remap layer means q from source interfaces pe1 to
     target interfaces pe2 (both [..., K+1], monotone increasing, same
-    endpoints or pe2 within pe1's range).
+    endpoints or pe2 within pe1's range).  Returns target means [..., K2].
 
-    Returns target layer means [..., K2].
+    TPU-first formulation: instead of searchsorted/gather (slow XLA gathers
+    on TPU), each (target l, source k) pair's *overlap* contribution is an
+    elementwise expression reduced over k - a fused broadcast+reduction on
+    the VPU with no materialized [K2, K1] tensor.  Each source layer's mass
+    telescopes exactly across the targets, so conservation holds to
+    roundoff of local terms (no top-of-column cumulative cancellation).
     """
     dp1 = pe1[..., 1:] - pe1[..., :-1]
     aL, aR, a6 = _ppm_edges_k(q, dp1)
 
-    # cumulative mass integral at source interfaces: Q[k] = int_top^pe1[k] q dp
-    qdp = q * dp1
-    Q = jnp.concatenate(
-        [jnp.zeros_like(qdp[..., :1]), jnp.cumsum(qdp, axis=-1)], axis=-1
-    )  # [..., K+1]
-
-    K1 = q.shape[-1]
-
-    def cum_at(p):
-        """Integral of q dp from the top to pressure p (p: [..., M])."""
-        # source layer containing p: count interfaces <= p, minus 1, clipped
-        # comparison matrix [..., M, K1+1] -> count
-        cnt = jnp.sum(
-            (pe1[..., None, :] <= p[..., :, None]).astype(jnp.int32), axis=-1
-        )
-        k = jnp.clip(cnt - 1, 0, K1 - 1)  # containing layer index [..., M]
-        pe_lo = jnp.take_along_axis(pe1, k, axis=-1)
-        dp = jnp.take_along_axis(dp1, k, axis=-1)
-        x = jnp.clip((p - pe_lo) / jnp.maximum(dp, 1e-30), 0.0, 1.0)
-        aLk = jnp.take_along_axis(aL, k, axis=-1)
-        aRk = jnp.take_along_axis(aR, k, axis=-1)
-        a6k = jnp.take_along_axis(a6, k, axis=-1)
-        part = _partial_integral(aLk, aRk, a6k, jnp.zeros_like(x), x) * dp
-        Qk = jnp.take_along_axis(Q, k, axis=-1)
-        return Qk + part
-
-    C = cum_at(pe2)  # [..., K2+1]
+    # broadcast [..., K2, K1]
+    lo = jnp.maximum(pe1[..., None, :-1], pe2[..., :-1, None])
+    hi = jnp.minimum(pe1[..., None, 1:], pe2[..., 1:, None])
+    dp1b = dp1[..., None, :]
+    x0 = jnp.clip((lo - pe1[..., None, :-1]) / dp1b, 0.0, 1.0)
+    x1 = jnp.clip((hi - pe1[..., None, :-1]) / dp1b, 0.0, 1.0)
+    x1 = jnp.maximum(x1, x0)  # empty overlap -> zero-width integral
+    contrib = _partial_integral(
+        aL[..., None, :], aR[..., None, :], a6[..., None, :], x0, x1) * dp1b
+    target_mass = jnp.sum(contrib, axis=-1)
     dp2 = pe2[..., 1:] - pe2[..., :-1]
-    return (C[..., 1:] - C[..., :-1]) / dp2
+    return target_mass / dp2
 
 
 def lagrangian_to_eulerian(delp, pt, u_cell, v_cell, q, ak, bk, ptop,
