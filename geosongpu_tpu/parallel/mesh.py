@@ -77,7 +77,7 @@ def comm_microbench(sizes_bytes: Optional[List[int]] = None,
     mesh = Mesh(np.asarray(devs), axis_names=("d",))
     sizes = sizes_bytes or [2 ** k for k in range(12, 25, 2)]  # 4KB..16MB
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     out: Dict[str, list] = {"sizes": [], "ppermute_gbps": [], "psum_us": []}
     for size in sizes:

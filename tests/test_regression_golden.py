@@ -1,0 +1,57 @@
+"""Golden-trajectory regression guard.
+
+The reference's correctness story compares against Fortran runs on the
+cluster; across build rounds of this framework we additionally pin the c12
+Held-Suarez trajectory: any change to the numerics shows up as a drift in
+these f64 field fingerprints.  Regenerate *deliberately* (and say so in
+the commit message) when the discretization is intentionally improved:
+
+    python -m tests.test_regression_golden
+"""
+import jax
+import numpy as np
+import pytest
+
+from geosongpu_tpu.core.config import DycoreConfig
+from geosongpu_tpu.models.held_suarez import build_model
+
+# (sum, abs-sum) after 24 steps of c12-L16 HS, n_split=6, dt=1200,
+# perturb=0.01 seed=42 - recorded on the CPU backend, jax 0.9.0
+GOLDEN = {
+    "u": (4.797178e+02, 7.924906e+02),
+    "v": (-7.406346e+00, 6.860681e+02),
+    "delp": (8.631445e+07, 8.631445e+07),
+    "pt": (6.951884e+06, 6.951884e+06),
+}
+RTOL = 5e-4  # f32 run-to-run reassociation noise bound
+
+
+def _fingerprints():
+    cfg = DycoreConfig(npx=12, npz=16, dt=1200.0, n_split=6)
+    m = build_model(cfg)
+    s = m.init(perturb=0.01, seed=42)
+    for _ in range(24):
+        s = m.step_fn(s)
+    out = {}
+    for name in GOLDEN:
+        a = np.asarray(getattr(s, name), dtype=np.float64)
+        out[name] = (a.sum(), np.abs(a).sum())
+    return out
+
+
+@pytest.mark.skipif(jax.default_backend() != "cpu",
+                    reason="golden recorded on the CPU backend")
+def test_c12_trajectory_matches_golden():
+    fps = _fingerprints()
+    for name, (s_ref, a_ref) in GOLDEN.items():
+        s_got, a_got = fps[name]
+        assert abs(a_got - a_ref) / abs(a_ref) < RTOL, (
+            f"{name} abs-sum drifted: {a_got:.6e} vs golden {a_ref:.6e}")
+        scale = max(abs(s_ref), 1e-3 * a_ref)
+        assert abs(s_got - s_ref) / scale < RTOL * 10, (
+            f"{name} sum drifted: {s_got:.6e} vs golden {s_ref:.6e}")
+
+
+if __name__ == "__main__":
+    for k, v in _fingerprints().items():
+        print(f'    "{k}": ({v[0]:.6e}, {v[1]:.6e}),')
