@@ -127,6 +127,24 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
                             cfg.kord)
         delp = delp_new
 
+    # ---- nonhydrostatic vertical dynamics (prototype) -------------------
+    # Implicit vertical acoustic solve on w/delz once per model step.  The
+    # nonhydrostatic pressure does not yet feed the horizontal PGF
+    # (ARCHITECTURE.md gap); hydrostatic mode keeps w/delz diagnostic.
+    w_out, delz_out = state.w, state.delz
+    if not cfg.hydrostatic:
+        from .nh_solver import hydrostatic_delz, vertical_acoustic_solve
+
+        delz = jnp.where(state.delz > 1.0, state.delz,
+                         hydrostatic_delz(delp, pt, cfg.ptop))
+        zeros = jnp.zeros_like(delp[..., :1])
+        w_iface = jnp.concatenate(
+            [zeros, 0.5 * (state.w[..., :-1] + state.w[..., 1:]), zeros],
+            axis=-1)
+        w_iface, delz_out = vertical_acoustic_solve(
+            w_iface, delz, pt, delp, cfg.dt / cfg.k_split, cfg.ptop)
+        w_out = 0.5 * (w_iface[..., :-1] + w_iface[..., 1:])
+
     # ---- diagnostics ----------------------------------------------------
     pe = cfg.ptop + jnp.concatenate(
         [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
@@ -136,7 +154,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
 
     return DycoreState(
         u=u, v=v, delp=delp, pt=pt, q=q,
-        w=state.w, delz=state.delz, phis=state.phis,
+        w=w_out, delz=delz_out, phis=state.phis,
         ps=ps,
         omga=state.omga,
         ua=ua, va=va,

@@ -1,0 +1,138 @@
+"""Nonhydrostatic vertical acoustic solver (FV3 riem_solver analog).
+
+The reference's dycore contract carries `w` and `delz` for the
+nonhydrostatic core (/root/reference/src/tcn/py_ftn_interface/example_def_dycore.yaml:49-51);
+the solver itself lives in the external gtFV3.  This is the TPU-native
+equivalent of that vertically-implicit "Riemann solver": it advances the
+vertically-propagating acoustic/buoyancy dynamics of each column with a
+backward-Euler (theta=1) scheme, which reduces to one tridiagonal solve
+per column - a pair of `lax.scan`s over K, vectorized across all columns.
+
+Column model (TOA -> surface index order, rigid lid and ground):
+  interfaces carry w [.., K+1] (w[0] = w[K] = 0), layers carry
+  delz > 0 (geometric thickness), delp (fixed mass), pt.
+  p_k   = full gas-law pressure  rho R T = (delp/(g delz)) R T
+  p'_k  = p_k - p_hydro_k        (nonhydrostatic perturbation)
+  dw/dt|_iface = -g [p'_k - p'_{k-1}] / (rho_bar dz_bar g)  (pressure form)
+  d(delz)/dt|_layer = w_iface_above - w_iface_below
+
+Linearizing p(delz) with the adiabatic bulk modulus (dp/d delz =
+-gamma p/delz) and eliminating delz^{n+1} yields the tridiagonal system in
+w^{n+1} solved below (Thomas algorithm).  Implicit => unconditionally
+stable for vertical sound waves, the property the FV3 scheme exists for.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grid import GRAV, RDGAS, KAPPA
+
+GAMMA = 1.0 / (1.0 - KAPPA)  # cp/cv
+
+
+def _thomas(a, b, c, d):
+    """Tridiagonal solve along the last axis (vectorized Thomas).
+
+    a: sub-diagonal [.., M] (a[...,0] unused), b: diagonal [.., M],
+    c: super-diagonal (c[...,-1] unused), d: rhs [.., M].
+    """
+    M = b.shape[-1]
+
+    def fwd(carry, idx):
+        cp_prev, dp_prev = carry
+        ai = a[..., idx]
+        bi = b[..., idx]
+        ci = c[..., idx]
+        di = d[..., idx]
+        denom = bi - ai * cp_prev
+        cp = ci / denom
+        dp = (di - ai * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    init = (jnp.zeros_like(b[..., 0]), jnp.zeros_like(b[..., 0]))
+    _, (cps, dps) = jax.lax.scan(fwd, init, jnp.arange(M))
+    cps = jnp.moveaxis(cps, 0, -1)
+    dps = jnp.moveaxis(dps, 0, -1)
+
+    def bwd(carry, idx):
+        x_next = carry
+        x = dps[..., idx] - cps[..., idx] * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros_like(b[..., 0]),
+                         jnp.arange(M - 1, -1, -1))
+    xs = jnp.moveaxis(xs, 0, -1)[..., ::-1]
+    return xs
+
+
+def full_pressure(delp, delz, pt, ptop):
+    """Gas-law pressure per layer from mass, thickness, and temperature
+    (T = pt * pkz with pkz from the hydrostatic pe - adequate lineariz.)."""
+    pe = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pk = (pe / 1.0e5) ** KAPPA
+    peln = jnp.log(pe)
+    pkz = (pk[..., 1:] - pk[..., :-1]) / (KAPPA * (peln[..., 1:] - peln[..., :-1]))
+    t = pt * pkz
+    rho = delp / (GRAV * jnp.maximum(delz, 1.0))
+    p_full = rho * RDGAS * t
+    p_mid_hydro = 0.5 * (pe[..., 1:] + pe[..., :-1])
+    return p_full, p_mid_hydro, t
+
+
+def vertical_acoustic_solve(w, delz, pt, delp, dt: float, ptop: float
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One implicit vertical acoustic step.
+
+    w:    [.., K+1] interface vertical velocity (w[...,0] and w[...,K]
+          boundary values are overwritten with 0: rigid lid/ground)
+    delz: [.., K] layer thickness (> 0)
+    Returns (w', delz')."""
+    K = delz.shape[-1]
+    p_full, p_hyd, t = full_pressure(delp, delz, pt, ptop)
+    pprime = p_full - p_hyd
+
+    rho = delp / (GRAV * jnp.maximum(delz, 1.0))
+    # interface means (interior interfaces 1..K-1)
+    rho_i = 0.5 * (rho[..., :-1] + rho[..., 1:])
+    dz_i = 0.5 * (delz[..., :-1] + delz[..., 1:])
+    # acoustic stiffness per layer: dp'/d(delz) ~ -gamma p / delz
+    s = GAMMA * p_full / jnp.maximum(delz, 1.0)
+
+    # tridiagonal for interior interface w (M = K-1 unknowns):
+    # w_i - w_i^n = -(dt/(rho_i dz_i)) [ p'_k(delz^{n+1}) - p'_{k-1}(...) ]
+    # delz_k^{n+1} = delz_k^n + dt (w_{i=k} - w_{i=k+1})   (i = top iface of k)
+    # => coupling coefficients with s_k:
+    alpha = dt / (rho_i * dz_i)           # [.., K-1] at interior ifaces
+    dt_s_up = dt * s[..., :-1]            # layer above iface i
+    dt_s_dn = dt * s[..., 1:]             # layer below
+    # unknown vector x = w at interfaces 1..K-1
+    b = 1.0 + alpha * (dt_s_up + dt_s_dn)
+    a = -alpha * dt_s_up                  # couples to w_{i-1}
+    c = -alpha * dt_s_dn                  # couples to w_{i+1}
+    # excess pressure in the layer below an interface pushes it up (+w):
+    # rhs = w^n + alpha (p'_below - p'_above)
+    w_in = w[..., 1:-1]
+    rhs = w_in + alpha * (pprime[..., 1:] - pprime[..., :-1])
+    x = _thomas(a, b, c, rhs)
+
+    zeros = jnp.zeros_like(w[..., :1])
+    w_new = jnp.concatenate([zeros, x, zeros], axis=-1)
+    delz_new = delz + dt * (w_new[..., :-1] - w_new[..., 1:])
+    return w_new, delz_new
+
+
+def hydrostatic_delz(delp, pt, ptop):
+    """The delz profile in exact discrete hydrostatic balance (p' == 0):
+    rho R T = p_mid  =>  delz = delp R T / (g p_mid)."""
+    pe = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pk = (pe / 1.0e5) ** KAPPA
+    peln = jnp.log(pe)
+    pkz = (pk[..., 1:] - pk[..., :-1]) / (KAPPA * (peln[..., 1:] - peln[..., :-1]))
+    t = pt * pkz
+    p_mid = 0.5 * (pe[..., 1:] + pe[..., :-1])
+    return delp * RDGAS * t / (GRAV * p_mid)
