@@ -31,6 +31,11 @@ class DycoreConfig:
     hydrostatic: bool = True
     ntracers: int = 1
     halo: int = 3
+    z_tracer: bool = True   # advect tracers once per remap interval with
+                            # accumulated mass fluxes (FV3 z_tracer); False
+                            # sub-cycles tracers every acoustic substep
+    q_split: int = 2        # tracer subcycles per remap interval (Courant
+                            # control for the accumulated fluxes)
     vertical: str = "hybrid"  # "sigma" | "hybrid"
     dtype: str = "float32"  # reference runs PACE_FLOAT_PRECISION=32
                             # (/root/reference/src/tcn/ci/pipeline/gtfv3_config.py:11)

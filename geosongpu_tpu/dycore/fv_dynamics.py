@@ -72,6 +72,34 @@ def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, n, kord):
     return u_new, v_new
 
 
+def _advect_tracers_accumulated(q, delp0, tacc, ops, m, hord, q_split):
+    """FV3 z_tracer mode: advect tracers once per remap interval with the
+    time-accumulated Courant numbers / area fluxes / mass fluxes, split
+    into `q_split` subcycles to keep the per-pass Courant < 1.  Exactly
+    preserves q == const (fluxes reduce to the accumulated mass fluxes)."""
+    from ..ops.fvtp2d import ddx, ddy, fvtp2d
+
+    crx, cry, xfx, yfx, mfx, mfy = (a / q_split for a in tacc)
+    h, n = ops.h, ops.n
+    islice = (slice(None), slice(h, h + n), slice(h, h + n))
+    delp = delp0
+    for _ in range(q_split):
+        pd_x = ops.fill(delp, "x")
+        delp_new = (pd_x + (ddx(mfx) + ddy(mfy)) * m.rarea)[islice]
+        T = q.shape[-1]
+        qs = []
+        for t in range(T):
+            qx = ops.fill(q[..., t], "x")
+            qy = ops.fill(q[..., t], "y")
+            qf = fvtp2d(qx, qy, crx, cry, xfx, yfx, m.area, hord=hord,
+                        mfx=mfx, mfy=mfy)
+            qdp = (qx * pd_x + (ddx(qf.fx) + ddy(qf.fy)) * m.rarea)[islice]
+            qs.append(qdp / delp_new)
+        q = jnp.stack(qs, axis=-1)
+        delp = delp_new
+    return q
+
+
 def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     cfg = ctx.config
     ops, m = ctx.ops, ctx.metrics
@@ -85,28 +113,50 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     uc = vc = None
 
     has_q = q is not None
+    z_tracer = cfg.z_tracer and has_q  # accumulated-flux tracer transport
+    substep_tracers = has_q and not z_tracer
 
     def substep(carry, _):
-        u, v, delp, pt, q, mfx_acc, mfy_acc = carry
-        s = fill_substep(ops, u, v, delp, pt, q if has_q else None)
+        u, v, delp, pt, q, mfx_acc, mfy_acc, tacc = carry
+        s = fill_substep(ops, u, v, delp, pt,
+                         q if substep_tracers else None)
         out = d_sw_substep(s, m, ops, dt_acoustic, cfg.ptop,
-                           hord=cfg.hord, d2_bg=cfg.d2_bg)
+                           hord=cfg.hord, d2_bg=cfg.d2_bg,
+                           advect_tracers=substep_tracers)
+        tacc2 = tuple(
+            a + b for a, b in zip(tacc, (out.crx_pad, out.cry_pad,
+                                         out.xfx_pad, out.yfx_pad,
+                                         out.mfx_pad, out.mfy_pad)))
         return (out.u, out.v, out.delp, out.pt,
-                out.q if has_q else q,
-                mfx_acc + out.mfx, mfy_acc + out.mfy), (out.uc, out.vc)
+                out.q if substep_tracers else q,
+                mfx_acc + out.mfx, mfy_acc + out.mfy,
+                tacc2), (out.uc, out.vc)
+
+    N = n + 2 * cfg.halo
+    K = cfg.npz
+
+    def zero_tacc():
+        zx = jnp.zeros((6, N, N + 1, K), jnp.float32)
+        zy = jnp.zeros((6, N + 1, N, K), jnp.float32)
+        return (zx, zy, zx, zy, zx, zy)
 
     for _ks in range(cfg.k_split):
+        delp0 = delp  # tracer-interval start mass
         # scan over acoustic substeps: one compiled body instead of an
         # n_split-times unrolled HLO (compile time matters on the tunnel)
         carry = (u, v, delp, pt,
                  q if has_q else jnp.zeros((), jnp.float32),
-                 mfx_acc, mfy_acc)
+                 mfx_acc, mfy_acc, zero_tacc())
         carry, (ucs, vcs) = jax.lax.scan(substep, carry, None,
                                          length=cfg.n_split)
-        u, v, delp, pt, qq, mfx_acc, mfy_acc = carry
-        if has_q:
+        u, v, delp, pt, qq, mfx_acc, mfy_acc, tacc = carry
+        if substep_tracers:
             q = qq
         uc, vc = ucs[-1], vcs[-1]
+
+        if z_tracer:
+            q = _advect_tracers_accumulated(
+                q, delp0, tacc, ops, m, cfg.hord, cfg.q_split)
 
         # ---- vertical remap back to the reference hybrid coordinate ----
         pe1 = cfg.ptop + jnp.concatenate(

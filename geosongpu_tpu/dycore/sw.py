@@ -214,6 +214,14 @@ class SubstepOut(NamedTuple):
     mfy: jnp.ndarray
     uc: jnp.ndarray       # interior time-centered C-grid winds
     vc: jnp.ndarray
+    # padded per-substep transport quantities, for accumulated-flux tracer
+    # advection over the remap interval (FV3's z_tracer mode)
+    crx_pad: jnp.ndarray  # [6, N, N+1, K]
+    cry_pad: jnp.ndarray  # [6, N+1, N, K]
+    xfx_pad: jnp.ndarray
+    yfx_pad: jnp.ndarray
+    mfx_pad: jnp.ndarray
+    mfy_pad: jnp.ndarray
 
 
 def d_sw_substep(
@@ -224,6 +232,7 @@ def d_sw_substep(
     ptop: float,
     hord: int = 8,
     d2_bg: float = 0.015,
+    advect_tracers: bool = True,
 ) -> SubstepOut:
     """One forward-backward acoustic substep on padded fields."""
     h, n = ops.h, ops.n
@@ -247,7 +256,7 @@ def d_sw_substep(
                 mfx=mf.fx, mfy=mf.fy)
     pt_new = (s.pt_x * s.pd_x + (ddx(tf.fx) + ddy(tf.fy)) * m.rarea) / delp_new
 
-    if s.pq_x is not None:
+    if s.pq_x is not None and advect_tracers:
         T = s.pq_x.shape[-1]
         qs = []
         for t in range(T):
@@ -323,4 +332,10 @@ def d_sw_substep(
         mfy=mf.fy[:, h:h + n + 1, h:h + n],
         uc=uct[:, h:h + n, h:h + n + 1],
         vc=vct[:, h:h + n + 1, h:h + n],
+        crx_pad=crx,
+        cry_pad=cry,
+        xfx_pad=xfx,
+        yfx_pad=yfx,
+        mfx_pad=mf.fx,
+        mfy_pad=mf.fy,
     )
