@@ -36,6 +36,8 @@ class DycoreConfig:
                             # sub-cycles tracers every acoustic substep
     q_split: int = 2        # tracer subcycles per remap interval (Courant
                             # control for the accumulated fluxes)
+    pallas_microphysics: bool = False  # fused Pallas TPU kernel for the
+                                       # GFDL-lite microphysics column chain
     vertical: str = "hybrid"  # "sigma" | "hybrid"
     dtype: str = "float32"  # reference runs PACE_FLOAT_PRECISION=32
                             # (/root/reference/src/tcn/ci/pipeline/gtfv3_config.py:11)

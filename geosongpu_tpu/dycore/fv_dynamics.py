@@ -134,10 +134,11 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
 
     N = n + 2 * cfg.halo
     K = cfg.npz
+    F = delp.shape[0]  # 6 faces, or 1 inside a face-sharded shard_map
 
     def zero_tacc():
-        zx = jnp.zeros((6, N, N + 1, K), jnp.float32)
-        zy = jnp.zeros((6, N + 1, N, K), jnp.float32)
+        zx = ops.zeros((F, N, N + 1, K))
+        zy = ops.zeros((F, N + 1, N, K))
         return (zx, zy, zx, zy, zx, zy)
 
     for _ks in range(cfg.k_split):

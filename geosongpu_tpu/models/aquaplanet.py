@@ -130,8 +130,16 @@ def build_model(config: DycoreConfig) -> AquaplanetModel:
 
         # ---- microphysics ----------------------------------------------
         qi = jnp.zeros_like(ql)
-        mp = K.gfdl_microphysics(t, qv, ql, qr, qi, p_mid, state.delp, dt)
-        t, qv, ql, qr = mp.t, mp.qv, mp.ql, mp.qr
+        if config.pallas_microphysics:
+            from ..ops.pallas.microphysics import gfdl_microphysics_pallas
+
+            interp = jax.default_backend() != "tpu"
+            t, qv, ql, qr, _, _precip = gfdl_microphysics_pallas(
+                t, qv, ql, qr, qi, p_mid, state.delp, dt, interpret=interp)
+        else:
+            mp = K.gfdl_microphysics(t, qv, ql, qr, qi, p_mid, state.delp,
+                                     dt)
+            t, qv, ql, qr = mp.t, mp.qv, mp.ql, mp.qr
 
         # ---- radiative relaxation (HS-style, weak) ----------------------
         pt = t / pkz

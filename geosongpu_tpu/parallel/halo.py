@@ -455,6 +455,10 @@ class HaloOps:
         h, n = self.h, self.n
         return padded[:, h:h + n, h:h + n]
 
+    @staticmethod
+    def zeros(shape, dtype=jnp.float32) -> jax.Array:
+        return jnp.zeros(shape, dtype)
+
 
 def build_halo_ops(n: int, h: int) -> HaloOps:
     spec: HaloSpec = halo_spec(n, h)

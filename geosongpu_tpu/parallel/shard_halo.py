@@ -281,6 +281,168 @@ def build_plan(n: int, h: int) -> ShardHaloPlan:
     )
 
 
+# --------------------------------------------------------------------------
+# staggered (D/C-grid) exchange: packed-message matching rounds
+# --------------------------------------------------------------------------
+# Every staggered padded block (strips, shared-interface fragments, AND
+# corner blocks) references the *interior* u/v arrays of a face adjacent to
+# the receiver (at cube corners the third face is adjacent to both), so a
+# single exchange round per matching suffices: the sender packs all blocks
+# the partner's padding sources from it into one flat message.
+
+
+@dataclass(frozen=True)
+class StagExchangePlan:
+    n: int
+    h: int
+    msg_len: int
+    # send_layout[r][f]: tuple of (recipe, offset) - blocks of the
+    # partner's padding sourced from face f's interior u/v
+    send_layout: tuple
+    # recv_layout[r][f]: tuple of (recipe, offset, which) - where face f
+    # unpacks into its own padded arrays; which in {"u", "v"}
+    recv_layout: tuple
+
+
+@functools.lru_cache(maxsize=8)
+def build_stag_plan(n: int, h: int) -> StagExchangePlan:
+    from .halo import _build_stag_recipes  # reuse verified recipes
+
+    spec = halo_spec(n, h)
+    urec, vrec = _build_stag_recipes(spec)
+    et = edge_table()
+    edge_toward = {}
+    for (f, e), link in et.items():
+        edge_toward[(f, link.neighbor)] = e
+
+    def blocks_of(face):
+        out = []
+        for r in urec:
+            if r.face == face:
+                out.append(("u", r))
+        for r in vrec:
+            if r.face == face:
+                out.append(("v", r))
+        return out
+
+    send_layout = []
+    recv_layout = []
+    msg_len = 0
+    for pairs in MATCHINGS:
+        srow = [()] * NFACES
+        rrow = [()] * NFACES
+        for a, b in pairs:
+            for me, other in ((a, b), (b, a)):
+                # blocks of MY padding sourced from `other`
+                mine = [(which, r) for which, r in blocks_of(me)
+                        if r.g == other]
+                mine.sort(key=lambda wr: (wr[0], wr[1].dj0, wr[1].di0))
+                offs = []
+                off = 0
+                for which, r in mine:
+                    size = (r.dj1 - r.dj0) * (r.di1 - r.di0)
+                    offs.append((r, off, which))
+                    off += size
+                msg_len = max(msg_len, off)
+                rrow[me] = tuple(offs)
+                # the sender's layout is the receiver's list (same static
+                # data); stored under the SENDER's index
+                srow_entry = tuple((r, o) for r, o, _ in offs)
+                srow[other] = srow_entry
+        send_layout.append(tuple(srow))
+        recv_layout.append(tuple(rrow))
+    return StagExchangePlan(n=n, h=h, msg_len=msg_len,
+                            send_layout=tuple(send_layout),
+                            recv_layout=tuple(recv_layout))
+
+
+def _stag_extract(u_like, v_like, r, normal: bool):
+    src = v_like if r.src_is_v else u_like
+    blk = src[r.g, r.j0:r.j1, r.i0:r.i1] if src.ndim > 3 else \
+        src[r.j0:r.j1, r.i0:r.i1]
+    if r.transpose:
+        blk = jnp.swapaxes(blk, 0, 1)
+    if r.flip0:
+        blk = blk[::-1]
+    if r.flip1:
+        blk = blk[:, ::-1]
+    s = r.sgn_n if normal else r.sgn_t
+    return -blk if s != 1 else blk
+
+
+def shard_fill_dgrid(u_local: jnp.ndarray, v_local: jnp.ndarray,
+                     plan: StagExchangePlan, normal: bool = False,
+                     axis_name: str = "face"
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inside shard_map: u_local [n+1, n, ...], v_local [n, n+1, ...] ->
+    padded (pu [N+1, N, ...], pv [N, N+1, ...]).  `normal=True` applies
+    C-grid normal-component signs (pass (u_local=vc, v_local=uc) like
+    HaloOps.fill_cgrid and swap the outputs)."""
+    n, h = plan.n, plan.h
+    idx = jax.lax.axis_index(axis_name)
+    trail = u_local.shape[2:]
+    tsize = 1
+    for t in trail:
+        tsize *= t
+
+    pad_cfg = [(h, h), (h, h)] + [(0, 0)] * len(trail)
+    pu = jnp.pad(u_local, pad_cfg)
+    pv = jnp.pad(v_local, pad_cfg)
+
+    for r_i, pairs in enumerate(MATCHINGS):
+        perm = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+        # recipes index [g, j, i]; for outgoing blocks g is always the
+        # sender's own face, so wrap the local arrays in a g-ignoring view
+        def pack_local(f):
+            u_like, v_like = _OwnFace(u_local), _OwnFace(v_local)
+            parts = []
+            used = 0
+            for rec, off in plan.send_layout[r_i][f]:
+                blk = _stag_extract(u_like, v_like, rec, normal)
+                parts.append(blk.reshape((-1,) + trail))
+                used += (rec.dj1 - rec.dj0) * (rec.di1 - rec.di0)
+            pad_elems = plan.msg_len - used
+            if pad_elems or not parts:
+                parts.append(jnp.zeros((pad_elems,) + trail, u_local.dtype))
+            return jnp.concatenate(parts, axis=0)
+
+        send = jax.lax.switch(
+            idx, [functools.partial(pack_local, f) for f in range(NFACES)])
+        recv = jax.lax.ppermute(send, axis_name, perm)
+
+        def unpack(f, pu, pv, recv):
+            for rec, off, which in plan.recv_layout[r_i][f]:
+                R = rec.dj1 - rec.dj0
+                C = rec.di1 - rec.di0
+                blk = recv[off:off + R * C].reshape((R, C) + trail)
+                if which == "u":
+                    pu = pu.at[rec.dj0:rec.dj1, rec.di0:rec.di1].set(blk)
+                else:
+                    pv = pv.at[rec.dj0:rec.dj1, rec.di0:rec.di1].set(blk)
+            return pu, pv
+
+        pu, pv = jax.lax.switch(
+            idx, [functools.partial(unpack, f) for f in range(NFACES)],
+            pu, pv, recv)
+    return pu, pv
+
+
+class _OwnFace:
+    """Adapter: recipes index src[g, j0:j1, i0:i1]; inside shard_map the
+    sender only has its own face, so g-indexing returns the local array."""
+
+    def __init__(self, local):
+        self._local = local
+        self.ndim = local.ndim + 1
+        self.dtype = local.dtype
+
+    def __getitem__(self, key):
+        # key is (g, jslice, islice)
+        _, js, is_ = key
+        return self._local[js, is_]
+
+
 def shard_halo_fill(local: jnp.ndarray, plan: ShardHaloPlan,
                     axis_name: str = "face"
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
