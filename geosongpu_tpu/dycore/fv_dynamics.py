@@ -202,12 +202,22 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     ps = pe[..., -1]
     ua = 0.5 * (u[:, :-1, :] + u[:, 1:, :])
     va = 0.5 * (v[:, :, :-1] + v[:, :, 1:])
+    # omga: hydrostatic pressure velocity diagnosed from the accumulated
+    # mass-flux convergence - the Eulerian dp/dt at the hybrid layer
+    # midpoint (the horizontal-advection part of the full Dp/Dt is not
+    # included; adequate for the reference's diagnostic role)
+    hs = cfg.halo
+    conv = (((mfx_acc[:, :, :-1] - mfx_acc[:, :, 1:])
+             + (mfy_acc[:, :-1, :] - mfy_acc[:, 1:, :]))
+            * m.rarea[:, hs:hs + n, hs:hs + n] / cfg.dt)
+    cum = jnp.cumsum(conv, axis=-1)
+    omga = cum - 0.5 * conv
 
     return DycoreState(
         u=u, v=v, delp=delp, pt=pt, q=q,
         w=w_out, delz=delz_out, phis=state.phis,
         ps=ps,
-        omga=state.omga,
+        omga=omga,
         ua=ua, va=va,
         mfx=mfx_acc, mfy=mfy_acc,
     )

@@ -19,7 +19,21 @@ def main(argv=None) -> int:
     pl.add_argument("-st", "--select_time", type=int, default=None)
     pl.add_argument("--out", default=None)
 
+    dc = sub.add_parser("dash_compare")
+    dc.add_argument("reference")
+    dc.add_argument("computed")
+    dc.add_argument("--out", default="dashboard.html")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "dash_compare":
+        from ..validation.analysis import load_dataset
+        from .dashboard import compare_dashboard
+
+        out = compare_dashboard(load_dataset(args.reference),
+                                load_dataset(args.computed), args.out)
+        print(f"wrote {out}")
+        return 0
 
     if args.cmd == "plot":
         from ..validation.analysis import load_dataset
