@@ -22,7 +22,15 @@ def main() -> int:
     import numpy as np
 
     from geosongpu_tpu.core.config import DycoreConfig
+    from geosongpu_tpu.harness.checkpoint import enable_compilation_cache
     from geosongpu_tpu.models.held_suarez import build_model
+
+    # persistent XLA cache: repeat runs skip the multi-minute tunnel compile
+    # (the reference's cache-build-run separation, held_suarez.py:297-308)
+    try:
+        enable_compilation_cache()
+    except Exception:
+        pass
 
     npx = int(os.environ.get("BENCH_NPX", "48"))
     npz = int(os.environ.get("BENCH_NPZ", "32"))

@@ -73,12 +73,25 @@ class ShellScript:
     def wait_for_pid(pid: int, poll_s: float = 5.0,
                      timeout_s: Optional[float] = None) -> None:
         """Poll until the detached process exits (the sacct loop analog,
-        reference shell.py:86-100)."""
+        reference shell.py:86-100).  A finished-but-unreaped child is a
+        zombie that still answers kill(pid, 0), so also check the process
+        state in /proc."""
         t0 = time.time()
         while True:
             try:
                 os.kill(pid, 0)
             except ProcessLookupError:
+                return
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    state = f.read().rsplit(")", 1)[1].split()[0]
+                if state == "Z":
+                    try:
+                        os.waitpid(pid, os.WNOHANG)
+                    except ChildProcessError:
+                        pass
+                    return
+            except FileNotFoundError:
                 return
             if timeout_s and time.time() - t0 > timeout_s:
                 raise TimeoutError(f"pid {pid} still running after {timeout_s}s")
