@@ -51,12 +51,15 @@ def main(argv=None) -> int:
     if args.cmd == "run":
         from .core.config import ExperimentConfig
         from .harness.task import get_config
-        from .models.held_suarez import build_model
 
         raw = get_config(args.experiment_name)
         cfg = ExperimentConfig.from_dict(
             {"name": args.experiment_name, **raw["experiment"]})
         steps = args.steps or cfg.run.steps
+        if cfg.model == "aquaplanet":
+            from .models.aquaplanet import build_model
+        else:
+            from .models.held_suarez import build_model
         model = build_model(cfg.dycore)
         state = model.init(perturb=1e-3)
         import time

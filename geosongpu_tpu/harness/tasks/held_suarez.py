@@ -42,6 +42,15 @@ class HeldSuarez(TaskBase):
         ws = env.CI_WORKSPACE
         os.makedirs(ws, exist_ok=True)
 
+        # bracket the run with the hardware sampler when enabled, like the
+        # reference's GPU wrapper (HARDWARE_SAMPLING=1,
+        # gpu-wrapper-slurm-mps.sh.tpl:8-19,60-68)
+        sampler = None
+        if env.get("HARDWARE_SAMPLING") in ("1", "true", "True"):
+            from ...hws.server import Sampler
+
+            sampler = Sampler(rate_s=0.1)
+
         rec = BenchmarkRecord(
             experiment=env.experiment_name,
             backend=backend,
@@ -66,7 +75,11 @@ class HeldSuarez(TaskBase):
             state = model.step_fn(state)
             state.u.block_until_ready()
             timer.stop()
+            if sampler is not None:
+                sampler.sample_once()
         rec.step_time_s = timer.times
+        if sampler is not None:
+            rec.extra["hws_dump"] = sampler.dump(ws)
 
         rec.save(os.path.join(ws, f"benchmark_{env.experiment_name}.json"))
         np.savez_compressed(
