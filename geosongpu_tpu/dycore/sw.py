@@ -22,8 +22,10 @@ One acoustic substep is the Lin-Rood two-grid scheme:
 
 Deviations from FV3 (round 1, documented): vorticity lives at cell centers
 (primal circulation; validated in tests/test_halo_ops.py) and its flux uses
-2-pt averaging instead of PPM upwinding; the metric is treated as locally
-orthogonal (no cosa/sina corrections).
+2-pt averaging instead of PPM upwinding.  Advective winds and fluxes use
+the full non-orthogonal metric (normal projection with cosa/sina); the
+*momentum* update's KE/vorticity terms still use the locally-orthogonal
+approximation.
 
 Everything is elementwise/stencil math on [6, J, I, K] padded arrays: XLA
 fuses it into a few VPU passes over (x, K) tiles; the halo gathers at the
@@ -54,6 +56,10 @@ class PaddedMetrics(NamedTuple):
     dyc: jnp.ndarray     # [6, N+1, N, 1]
     fcor: jnp.ndarray    # [6, N, N, 1] Coriolis at centers
     rarea_c: jnp.ndarray  # [6, N+1, N+1, 1] 1/(dual corner-cell area)
+    cosa_i: jnp.ndarray  # [6, N, N+1, 1] axis-angle cos at x-interfaces
+    rsina_i: jnp.ndarray
+    cosa_j: jnp.ndarray  # [6, N+1, N, 1] at y-interfaces
+    rsina_j: jnp.ndarray
 
 
 def padded_metrics(grid: Grid) -> PaddedMetrics:
@@ -69,6 +75,10 @@ def padded_metrics(grid: Grid) -> PaddedMetrics:
         dyc=a(grid.dyc),
         fcor=a(grid.fcor),
         rarea_c=(1.0 / area_c)[..., None],
+        cosa_i=a(grid.cosa_i),
+        rsina_i=a(grid.rsina_i),
+        cosa_j=a(grid.cosa_j),
+        rsina_j=a(grid.rsina_j),
     )
 
 
@@ -155,11 +165,20 @@ def _hydrostatic_fields(delp, pt, ptop):
 # --------------------------------------------------------------------------
 
 def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float):
-    """Returns (uc*, vc*): advective winds at t + dt/2 on the C-grid."""
+    """Returns (uc*, vc*): advective *normal* winds at t + dt/2 on the
+    C-grid.  The interpolated coordinate components are projected onto the
+    interface normals ((V.e1 - cosa V.e2) / sina), which makes the fluxes
+    metrically consistent on the non-orthogonal gnomonic grid (FV3's
+    ut/vt contravariant conversion)."""
     ua = _avg_u_to_center(s.pu)
     va = _avg_v_to_center(s.pv)
     uc = _center_to_xiface(ua)              # [6, N, N+1, K]
     vc = _center_to_yiface(va)              # [6, N+1, N, K]
+    # transverse coordinate components at the interfaces
+    va_i = _center_to_xiface(va)
+    ua_j = _center_to_yiface(ua)
+    uc = (uc - m.cosa_i * va_i) * m.rsina_i
+    vc = (vc - m.cosa_j * ua_j) * m.rsina_j
 
     # half-step upwind mass/pt update
     crx = uc * dt2 / m.dxc

@@ -17,11 +17,13 @@ from geosongpu_tpu.models.held_suarez import build_model
 
 # (sum, abs-sum) after 24 steps of c12-L16 HS, n_split=6, dt=1200,
 # perturb=0.01 seed=42 - recorded on the CPU backend, jax 0.9.0
+# regenerated 2026-08-17: contravariant (normal-projected) advective winds
+# added to c_sw - deliberate numerics improvement (cosa/sina metric terms)
 GOLDEN = {
-    "u": (4.797178e+02, 7.924906e+02),
-    "v": (-7.406346e+00, 6.860681e+02),
-    "delp": (8.631445e+07, 8.631445e+07),
-    "pt": (6.951884e+06, 6.951884e+06),
+    "u": (4.454718e+02, 7.616910e+02),
+    "v": (-2.221187e+01, 6.768633e+02),
+    "delp": (8.631423e+07, 8.631423e+07),
+    "pt": (6.951886e+06, 6.951886e+06),
 }
 RTOL = 5e-4  # f32 run-to-run reassociation noise bound
 
