@@ -21,11 +21,12 @@ One acoustic substep is the Lin-Rood two-grid scheme:
       2nd-order divergence damping on the corner-dual divergence.
 
 Deviations from FV3 (round 1, documented): vorticity lives at cell centers
-(primal circulation; validated in tests/test_halo_ops.py) and its flux uses
-2-pt averaging instead of PPM upwinding.  Advective winds and fluxes use
-the full non-orthogonal metric (normal projection with cosa/sina); the
-*momentum* update's KE/vorticity terms still use the locally-orthogonal
-approximation.
+(primal circulation; validated in tests/test_halo_ops.py); its flux is
+PPM-upwinded with the advective winds (essential: 2-pt averaging is
+nonlinearly unstable after ~10 simulated days of eddy growth).  Advective
+winds and fluxes use the full non-orthogonal metric (normal projection
+with cosa/sina); the *momentum* update's KE term still uses the
+locally-orthogonal approximation.
 
 Everything is elementwise/stencil math on [6, J, I, K] padded arrays: XLA
 fuses it into a few VPU passes over (x, K) tiles; the halo gathers at the
@@ -39,7 +40,7 @@ import jax.numpy as jnp
 
 from ..core.grid import CP_AIR, KAPPA, Grid
 from ..ops.fvtp2d import ddx, ddy, fvtp2d
-from ..ops.ppm import upwind_flux
+from ..ops.ppm import ppm_flux, upwind_flux
 from ..parallel.halo import HaloOps
 
 P00 = 1.0e5
@@ -311,8 +312,11 @@ def d_sw_substep(
     div_c = jnp.pad(div_core, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
 
     # ---- D-grid wind update --------------------------------------------
-    # u-points: transverse advective wind vct lives exactly there
-    vort_u = 0.5 * (vort_abs[:, :-1, :] + vort_abs[:, 1:, :])
+    # vorticity flux with PPM-upwinded absolute vorticity (the 2-pt
+    # average is not enstrophy-stable: eddies amplify nonlinearly after
+    # ~10 simulated days; upwinding dissipates enstrophy at the grid
+    # scale, FV3's hord_vt treatment)
+    vort_u = ppm_flux(vort_abs, cry, axis=1, hord=hord)
     dke_x = (ke_c[:, :, 1:] - ke_c[:, :, :-1]) / m.dx
     pt_u = 0.5 * (pt_c[:, :, 1:] + pt_c[:, :, :-1])
     pgf_x = ((phi_c[:, :, 1:] - phi_c[:, :, :-1])
@@ -321,13 +325,13 @@ def d_sw_substep(
     ddiv_x = damp_x * (div_c[:, :, 1:] - div_c[:, :, :-1]) / m.dx
 
     u_new = upad.at[:, 1:-1, :].add(dt * (
-        vort_u * vct[:, 1:-1, :]
+        vort_u[:, 1:-1, :] * vct[:, 1:-1, :]
         - dke_x[:, 1:-1, :]
         - pgf_x[:, 1:-1, :]
         + ddiv_x[:, 1:-1, :]))
 
     # v-points
-    vort_v = 0.5 * (vort_abs[:, :, :-1] + vort_abs[:, :, 1:])
+    vort_v = ppm_flux(vort_abs, crx, axis=2, hord=hord)
     dke_y = (ke_c[:, 1:, :] - ke_c[:, :-1, :]) / m.dy
     pt_v = 0.5 * (pt_c[:, 1:, :] + pt_c[:, :-1, :])
     pgf_y = ((phi_c[:, 1:, :] - phi_c[:, :-1, :])
@@ -336,7 +340,7 @@ def d_sw_substep(
     ddiv_y = damp_y * (div_c[:, 1:, :] - div_c[:, :-1, :]) / m.dy
 
     v_new = vpad.at[:, :, 1:-1].add(dt * (
-        -vort_v * uct[:, :, 1:-1]
+        -vort_v[:, :, 1:-1] * uct[:, :, 1:-1]
         - dke_y[:, :, 1:-1]
         - pgf_y[:, :, 1:-1]
         + ddiv_y[:, :, 1:-1]))

@@ -65,10 +65,16 @@ def _k_boundary(sigma):
     return jnp.maximum(0.0, (sigma - SIGMA_B) / (1.0 - SIGMA_B))
 
 
+SPONGE_P = 400.0        # Pa: Rayleigh sponge on winds above this pressure
+SPONGE_TAU = 2.0 * SECONDS_PER_DAY
+
+
 def held_suarez_forcing(u, v, pt, delp, lats: HSLatitudes, ptop: float,
                         dt: float):
     """Apply one dt of HS94 forcing.  u/v are D-grid staggered; pt is
     potential temperature (converted to T via the layer Exner internally).
+    A weak model-top Rayleigh sponge (standard practice; HS94 itself has
+    none) keeps upper-level gravity-wave noise bounded in long runs.
 
     Returns (u', v', pt')."""
     pe = ptop + jnp.concatenate(
@@ -88,14 +94,22 @@ def held_suarez_forcing(u, v, pt, delp, lats: HSLatitudes, ptop: float,
     # boundary-layer Rayleigh friction on the staggered winds; sigma at the
     # staggered points approximated by the cell-mean sigma profile adjacent
     # (2-pt average along the staggering direction)
+    def _sponge(p):
+        return (1.0 / SPONGE_TAU) * jnp.maximum(
+            0.0, (SPONGE_P - p) / SPONGE_P) ** 2
+
     sig_u = 0.5 * (jnp.concatenate([sigma[:, :1], sigma], axis=1)
                    + jnp.concatenate([sigma, sigma[:, -1:]], axis=1))
-    kv_u = KF * _k_boundary(sig_u)
+    p_u = 0.5 * (jnp.concatenate([p_mid[:, :1], p_mid], axis=1)
+                 + jnp.concatenate([p_mid, p_mid[:, -1:]], axis=1))
+    kv_u = KF * _k_boundary(sig_u) + _sponge(p_u)
     u_new = u / (1.0 + dt * kv_u)
 
     sig_v = 0.5 * (jnp.concatenate([sigma[:, :, :1], sigma], axis=2)
                    + jnp.concatenate([sigma, sigma[:, :, -1:]], axis=2))
-    kv_v = KF * _k_boundary(sig_v)
+    p_v = 0.5 * (jnp.concatenate([p_mid[:, :, :1], p_mid], axis=2)
+                 + jnp.concatenate([p_mid, p_mid[:, :, -1:]], axis=2))
+    kv_v = KF * _k_boundary(sig_v) + _sponge(p_v)
     v_new = v / (1.0 + dt * kv_v)
 
     return u_new, v_new, pt_new

@@ -17,11 +17,12 @@ from geosongpu_tpu.models.held_suarez import build_model
 
 # (sum, abs-sum) after 24 steps of c12-L16 HS, n_split=6, dt=1200,
 # perturb=0.01 seed=42 - recorded on the CPU backend, jax 0.9.0
-# regenerated 2026-08-17: contravariant (normal-projected) advective winds
-# added to c_sw - deliberate numerics improvement (cosa/sina metric terms)
+# regenerated 2026-08-17 (x2): contravariant advective winds (cosa/sina),
+# then PPM-upwinded vorticity flux + top sponge - deliberate numerics
+# improvements, each verified by the stability suite
 GOLDEN = {
-    "u": (4.454718e+02, 7.616910e+02),
-    "v": (-2.221187e+01, 6.768633e+02),
+    "u": (4.460906e+02, 7.626364e+02),
+    "v": (-2.220309e+01, 6.766070e+02),
     "delp": (8.631423e+07, 8.631423e+07),
     "pt": (6.951886e+06, 6.951886e+06),
 }
