@@ -115,20 +115,48 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     has_q = q is not None
     z_tracer = cfg.z_tracer and has_q  # accumulated-flux tracer transport
     substep_tracers = has_q and not z_tracer
+    nonhydro = not cfg.hydrostatic
+
+    if nonhydro:
+        from .nh_solver import hydrostatic_delz, vertical_acoustic_solve
+
+        # arm delz on the first step (init ships zeros): exact discrete
+        # hydrostatic balance => p' == 0 until the dynamics perturbs it
+        delz = jnp.where(state.delz > 1.0, state.delz,
+                         hydrostatic_delz(delp, pt, cfg.ptop))
+        w = state.w
+    else:
+        w = delz = None
 
     def substep(carry, _):
-        u, v, delp, pt, q, mfx_acc, mfy_acc, tacc = carry
+        u, v, delp, pt, q, w, delz, mfx_acc, mfy_acc, tacc = carry
         s = fill_substep(ops, u, v, delp, pt,
-                         q if substep_tracers else None)
+                         q if substep_tracers else None,
+                         w=w if nonhydro else None,
+                         delz=delz if nonhydro else None)
         out = d_sw_substep(s, m, ops, dt_acoustic, cfg.ptop,
                            hord=cfg.hord, d2_bg=cfg.d2_bg,
                            advect_tracers=substep_tracers)
+        if nonhydro:
+            # implicit vertical acoustic/buoyancy solve closes the substep
+            # (FV3's riem_solver3 position: after the horizontal update)
+            zeros = jnp.zeros_like(out.w[..., :1])
+            w_if = jnp.concatenate(
+                [zeros, 0.5 * (out.w[..., :-1] + out.w[..., 1:]), zeros],
+                axis=-1)
+            w_if, delz2 = vertical_acoustic_solve(
+                w_if, jnp.maximum(out.delz, 1.0), out.pt, out.delp,
+                dt_acoustic, cfg.ptop)
+            w2 = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
+        else:
+            w2, delz2 = w, delz
         tacc2 = tuple(
             a + b for a, b in zip(tacc, (out.crx_pad, out.cry_pad,
                                          out.xfx_pad, out.yfx_pad,
                                          out.mfx_pad, out.mfy_pad)))
         return (out.u, out.v, out.delp, out.pt,
                 out.q if substep_tracers else q,
+                w2, delz2,
                 mfx_acc + out.mfx, mfy_acc + out.mfy,
                 tacc2), (out.uc, out.vc)
 
@@ -145,14 +173,19 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
         delp0 = delp  # tracer-interval start mass
         # scan over acoustic substeps: one compiled body instead of an
         # n_split-times unrolled HLO (compile time matters on the tunnel)
+        zf = jnp.zeros((), jnp.float32)
         carry = (u, v, delp, pt,
-                 q if has_q else jnp.zeros((), jnp.float32),
+                 q if has_q else zf,
+                 w if nonhydro else zf,
+                 delz if nonhydro else zf,
                  mfx_acc, mfy_acc, zero_tacc())
         carry, (ucs, vcs) = jax.lax.scan(substep, carry, None,
                                          length=cfg.n_split)
-        u, v, delp, pt, qq, mfx_acc, mfy_acc, tacc = carry
+        u, v, delp, pt, qq, ww, zz, mfx_acc, mfy_acc, tacc = carry
         if substep_tracers:
             q = qq
+        if nonhydro:
+            w, delz = ww, zz
         uc, vc = ucs[-1], vcs[-1]
 
         if z_tracer:
@@ -173,28 +206,23 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
                 [remap_field(qs[t], pe1, pe2, cfg.kord)
                  for t in range(qs.shape[0])], axis=0)
             q = jnp.moveaxis(qs, 0, -1)
+        if nonhydro:
+            # w remaps mass-weighted like any scalar; delz via its
+            # per-unit-mass form (specific volume * g) so total column
+            # height is conserved through the remap
+            w = remap_field(w, pe1, pe2, cfg.kord)
+            delz = remap_field(delz / jnp.maximum(delp, 1e-3),
+                               pe1, pe2, cfg.kord) * delp_new
         dpad = ops.fill(delp, "x")
         u, v = _remap_winds(u, v, dpad, ctx.ak, ctx.bk, cfg.ptop, h, n,
                             cfg.kord)
         delp = delp_new
 
-    # ---- nonhydrostatic vertical dynamics (prototype) -------------------
-    # Implicit vertical acoustic solve on w/delz once per model step.  The
-    # nonhydrostatic pressure does not yet feed the horizontal PGF
-    # (ARCHITECTURE.md gap); hydrostatic mode keeps w/delz diagnostic.
-    w_out, delz_out = state.w, state.delz
-    if not cfg.hydrostatic:
-        from .nh_solver import hydrostatic_delz, vertical_acoustic_solve
-
-        delz = jnp.where(state.delz > 1.0, state.delz,
-                         hydrostatic_delz(delp, pt, cfg.ptop))
-        zeros = jnp.zeros_like(delp[..., :1])
-        w_iface = jnp.concatenate(
-            [zeros, 0.5 * (state.w[..., :-1] + state.w[..., 1:]), zeros],
-            axis=-1)
-        w_iface, delz_out = vertical_acoustic_solve(
-            w_iface, delz, pt, delp, cfg.dt / cfg.k_split, cfg.ptop)
-        w_out = 0.5 * (w_iface[..., :-1] + w_iface[..., 1:])
+    # w/delz are prognosed in NH mode (advected in d_sw, implicit vertical
+    # solve per acoustic substep, p' fed back into the horizontal PGF);
+    # hydrostatic mode carries them passively.
+    w_out = w if nonhydro else state.w
+    delz_out = delz if nonhydro else state.delz
 
     # ---- diagnostics ----------------------------------------------------
     pe = cfg.ptop + jnp.concatenate(

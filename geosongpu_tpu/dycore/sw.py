@@ -38,7 +38,7 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from ..core.grid import CP_AIR, KAPPA, Grid
+from ..core.grid import CP_AIR, GRAV, KAPPA, RDGAS, Grid
 from ..ops.fvtp2d import ddx, ddy, fvtp2d
 from ..ops.ppm import ppm_flux, upwind_flux
 from ..parallel.halo import HaloOps
@@ -94,9 +94,15 @@ class SWState(NamedTuple):
     pt_y: jnp.ndarray
     pq_x: Optional[jnp.ndarray]  # tracers [6, N, N, K, T]
     pq_y: Optional[jnp.ndarray]
+    # nonhydrostatic prognostics (None in hydrostatic mode)
+    pw_x: Optional[jnp.ndarray] = None   # vertical velocity [6, N, N, K]
+    pw_y: Optional[jnp.ndarray] = None
+    pz_x: Optional[jnp.ndarray] = None   # layer thickness delz > 0
+    pz_y: Optional[jnp.ndarray] = None
 
 
-def fill_substep(ops: HaloOps, u, v, delp, pt, q) -> SWState:
+def fill_substep(ops: HaloOps, u, v, delp, pt, q, w=None, delz=None
+                 ) -> SWState:
     pu, pv = ops.fill_dgrid(u, v)
     return SWState(
         pu=pu,
@@ -107,6 +113,10 @@ def fill_substep(ops: HaloOps, u, v, delp, pt, q) -> SWState:
         pt_y=ops.fill(pt, "y"),
         pq_x=None if q is None else ops.fill(q, "x"),
         pq_y=None if q is None else ops.fill(q, "y"),
+        pw_x=None if w is None else ops.fill(w, "x"),
+        pw_y=None if w is None else ops.fill(w, "y"),
+        pz_x=None if delz is None else ops.fill(delz, "x"),
+        pz_y=None if delz is None else ops.fill(delz, "y"),
     )
 
 
@@ -230,6 +240,8 @@ class SubstepOut(NamedTuple):
     delp: jnp.ndarray     # interior [6, n, n, K]
     pt: jnp.ndarray
     q: Optional[jnp.ndarray]
+    w: Optional[jnp.ndarray]     # interior, horizontally advected (NH mode)
+    delz: Optional[jnp.ndarray]
     mfx: jnp.ndarray      # interior x mass fluxes
     mfy: jnp.ndarray
     uc: jnp.ndarray       # interior time-centered C-grid winds
@@ -276,6 +288,34 @@ def d_sw_substep(
                 mfx=mf.fx, mfy=mf.fy)
     pt_new = (s.pt_x * s.pd_x + (ddx(tf.fx) + ddy(tf.fy)) * m.rarea) / delp_new
 
+    # ---- nonhydrostatic horizontal transport (w mass-weighted, delz
+    # volume-weighted) + start-of-substep pressure perturbation -----------
+    nonhydro = s.pz_x is not None
+    if nonhydro:
+        wf = fvtp2d(s.pw_x, s.pw_y, crx, cry, xfx, yfx, m.area, hord=hord,
+                    mfx=mf.fx, mfy=mf.fy)
+        w_new = (s.pw_x * s.pd_x
+                 + (ddx(wf.fx) + ddy(wf.fy)) * m.rarea) / delp_new
+        zf = fvtp2d(s.pz_x, s.pz_y, crx, cry, xfx, yfx, m.area, hord=hord)
+        delz_new = s.pz_x + (ddx(zf.fx) + ddy(zf.fy)) * m.rarea
+        # p' = gas-law pressure - hydrostatic pressure, lagged one substep
+        # (computed from the carried fields = last substep's implicit
+        # vertical solve output; FV3's pk3/one_grad_p time-staggering)
+        pe0 = ptop + jnp.concatenate(
+            [jnp.zeros_like(s.pd_x[..., :1]),
+             jnp.cumsum(s.pd_x, axis=-1)], axis=-1)
+        pk0 = (pe0 / P00) ** KAPPA
+        peln0 = jnp.log(pe0)
+        pkz0 = (pk0[..., 1:] - pk0[..., :-1]) / (
+            KAPPA * (peln0[..., 1:] - peln0[..., :-1]))
+        rho0 = s.pd_x / (GRAV * jnp.maximum(s.pz_x, 1.0))
+        pprime = (rho0 * RDGAS * (s.pt_x * pkz0)
+                  - 0.5 * (pe0[..., 1:] + pe0[..., :-1]))
+        pp_c = _center_to_corner(pprime)
+        rho_c = _center_to_corner(rho0)
+    else:
+        w_new = delz_new = None
+
     if s.pq_x is not None and advect_tracers:
         T = s.pq_x.shape[-1]
         qs = []
@@ -321,6 +361,10 @@ def d_sw_substep(
     pt_u = 0.5 * (pt_c[:, :, 1:] + pt_c[:, :, :-1])
     pgf_x = ((phi_c[:, :, 1:] - phi_c[:, :, :-1])
              + CP_AIR * pt_u * (pkz_c[:, :, 1:] - pkz_c[:, :, :-1])) / m.dx
+    if nonhydro:
+        rho_u = jnp.maximum(0.5 * (rho_c[:, :, 1:] + rho_c[:, :, :-1]),
+                            1.0e-8)
+        pgf_x = pgf_x + (pp_c[:, :, 1:] - pp_c[:, :, :-1]) / (rho_u * m.dx)
     damp_x = d2_bg * m.dx * m.dx / dt
     ddiv_x = damp_x * (div_c[:, :, 1:] - div_c[:, :, :-1]) / m.dx
 
@@ -336,6 +380,10 @@ def d_sw_substep(
     pt_v = 0.5 * (pt_c[:, 1:, :] + pt_c[:, :-1, :])
     pgf_y = ((phi_c[:, 1:, :] - phi_c[:, :-1, :])
              + CP_AIR * pt_v * (pkz_c[:, 1:, :] - pkz_c[:, :-1, :])) / m.dy
+    if nonhydro:
+        rho_v = jnp.maximum(0.5 * (rho_c[:, 1:, :] + rho_c[:, :-1, :]),
+                            1.0e-8)
+        pgf_y = pgf_y + (pp_c[:, 1:, :] - pp_c[:, :-1, :]) / (rho_v * m.dy)
     damp_y = d2_bg * m.dy * m.dy / dt
     ddiv_y = damp_y * (div_c[:, 1:, :] - div_c[:, :-1, :]) / m.dy
 
@@ -351,6 +399,8 @@ def d_sw_substep(
         delp=delp_new[islice],
         pt=pt_new[islice],
         q=None if q_new is None else q_new[islice],
+        w=None if w_new is None else w_new[islice],
+        delz=None if delz_new is None else delz_new[islice],
         mfx=mf.fx[:, h:h + n, h:h + n + 1],
         mfy=mf.fy[:, h:h + n + 1, h:h + n],
         uc=uct[:, h:h + n, h:h + n + 1],

@@ -78,3 +78,70 @@ def test_column_height_conserved_by_interior_motion():
         w, delz = vertical_acoustic_solve(w, delz, pt, delp, 60.0, ptop)
     h1 = np.asarray(jnp.sum(delz, -1))
     np.testing.assert_allclose(h1, h0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Coupled nonhydrostatic dynamics (w/delz advected in d_sw, per-substep
+# implicit vertical solve, p' feeding the horizontal PGF)
+# ---------------------------------------------------------------------------
+
+def _tiny_nh_model(hydrostatic):
+    from geosongpu_tpu.core.config import DycoreConfig
+    from geosongpu_tpu.models.held_suarez import build_model
+
+    cfg = DycoreConfig(npx=12, npz=8, dt=1200.0, n_split=4,
+                       hydrostatic=hydrostatic)
+    return build_model(cfg)
+
+
+def test_nh_coupled_step_stable_and_conservative():
+    m = _tiny_nh_model(hydrostatic=False)
+    s = m.init(perturb=1e-2)
+    for _ in range(5):
+        s = m.step_fn(s)
+    assert bool(jnp.isfinite(s.u).all() and jnp.isfinite(s.w).all())
+    # dry mass exactly conserved (flux-form transport + remap telescoping)
+    np.testing.assert_allclose(float(jnp.mean(s.ps)), 1.0e5, rtol=1e-5)
+    assert float(s.delz.min()) > 0.0
+    # near-resting large-scale state: w stays small
+    assert float(jnp.abs(s.w).max()) < 1.0
+
+
+def test_nh_tracks_hydrostatic_at_large_scale():
+    """At c12/dt=1200 the flow is deeply hydrostatic: the NH solution must
+    track the hydrostatic one (regression guard on the p' coupling sign)."""
+    mh = _tiny_nh_model(hydrostatic=True)
+    mn = _tiny_nh_model(hydrostatic=False)
+    s0 = mh.init(perturb=1e-2)
+    sh, sn = s0, s0
+    for _ in range(3):
+        sh = mh.step_fn(sh)
+        sn = mn.step_fn(sn)
+    scale = float(jnp.abs(sh.u).max()) + 1e-30
+    du = float(jnp.abs(sh.u - sn.u).max())
+    assert du < 0.15 * scale, (du, scale)
+    np.testing.assert_allclose(np.asarray(sn.pt), np.asarray(sh.pt),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_nh_pprime_feeds_horizontal_momentum():
+    """A delz (hence p') perturbation must push the horizontal winds in NH
+    mode and do nothing in hydrostatic mode (where delz is passive)."""
+    import dataclasses
+
+    from geosongpu_tpu.dycore.fv_dynamics import fv_dynamics_step
+    from geosongpu_tpu.dycore.nh_solver import hydrostatic_delz
+
+    mh = _tiny_nh_model(hydrostatic=True)
+    mn = _tiny_nh_model(hydrostatic=False)
+    s0 = mh.init(perturb=0.0)
+    delz0 = hydrostatic_delz(s0.delp, s0.pt, mh.config.ptop)
+    bump = jnp.zeros_like(delz0).at[0, 5:7, 5:7, 4:6].set(0.02)
+    s0 = dataclasses.replace(s0, delz=delz0 * (1.0 + bump))
+
+    sh = fv_dynamics_step(s0, mh.ctx)
+    sn = fv_dynamics_step(s0, mn.ctx)
+    # hydrostatic: no p' path, winds stay identically zero
+    assert float(jnp.abs(sh.u).max()) == 0.0
+    # NH: overpressure in the bump accelerates air out of it
+    assert float(jnp.abs(sn.u).max()) > 1e-4
