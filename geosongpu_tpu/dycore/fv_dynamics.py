@@ -118,7 +118,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     nonhydro = not cfg.hydrostatic
 
     if nonhydro:
-        from .nh_solver import hydrostatic_delz, vertical_acoustic_solve
+        from .nh_solver import hydrostatic_delz
 
         # arm delz on the first step (init ships zeros): exact discrete
         # hydrostatic balance => p' == 0 until the dynamics perturbs it
@@ -138,16 +138,10 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
                            hord=cfg.hord, d2_bg=cfg.d2_bg,
                            advect_tracers=substep_tracers)
         if nonhydro:
-            # implicit vertical acoustic/buoyancy solve closes the substep
-            # (FV3's riem_solver3 position: after the horizontal update)
-            zeros = jnp.zeros_like(out.w[..., :1])
-            w_if = jnp.concatenate(
-                [zeros, 0.5 * (out.w[..., :-1] + out.w[..., 1:]), zeros],
-                axis=-1)
-            w_if, delz2 = vertical_acoustic_solve(
-                w_if, jnp.maximum(out.delz, 1.0), out.pt, out.delp,
-                dt_acoustic, cfg.ptop)
-            w2 = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
+            # the implicit vertical acoustic solve runs inside
+            # d_sw_substep (before the wind update, so the NH pressure
+            # force is backward, from the solved fields)
+            w2, delz2 = out.w, out.delz
         else:
             w2, delz2 = w, delz
         tacc2 = tuple(

@@ -83,46 +83,49 @@ def full_pressure(delp, delz, pt, ptop):
     return p_full, p_mid_hydro, t
 
 
-def vertical_acoustic_solve(w, delz, pt, delp, dt: float, ptop: float
+def vertical_acoustic_solve(w, delz, pt, delp, dt: float, ptop: float,
+                            n_iter: int = 2
                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One implicit vertical acoustic step.
+    """One implicit vertical acoustic step (n_iter Newton linearizations).
 
     w:    [.., K+1] interface vertical velocity (w[...,0] and w[...,K]
           boundary values are overwritten with 0: rigid lid/ground)
     delz: [.., K] layer thickness (> 0)
     Returns (w', delz')."""
-    K = delz.shape[-1]
-    p_full, p_hyd, t = full_pressure(delp, delz, pt, ptop)
-    pprime = p_full - p_hyd
-
-    rho = delp / (GRAV * jnp.maximum(delz, 1.0))
-    # interface means (interior interfaces 1..K-1)
-    rho_i = 0.5 * (rho[..., :-1] + rho[..., 1:])
-    dz_i = 0.5 * (delz[..., :-1] + delz[..., 1:])
-    # acoustic stiffness per layer: dp'/d(delz) ~ -gamma p / delz
-    s = GAMMA * p_full / jnp.maximum(delz, 1.0)
-
-    # tridiagonal for interior interface w (M = K-1 unknowns):
-    # w_i - w_i^n = -(dt/(rho_i dz_i)) [ p'_k(delz^{n+1}) - p'_{k-1}(...) ]
-    # delz_k^{n+1} = delz_k^n + dt (w_{i=k} - w_{i=k+1})   (i = top iface of k)
-    # => coupling coefficients with s_k:
-    alpha = dt / (rho_i * dz_i)           # [.., K-1] at interior ifaces
-    dt_s_up = dt * s[..., :-1]            # layer above iface i
-    dt_s_dn = dt * s[..., 1:]             # layer below
-    # unknown vector x = w at interfaces 1..K-1
-    b = 1.0 + alpha * (dt_s_up + dt_s_dn)
-    a = -alpha * dt_s_up                  # couples to w_{i-1}
-    c = -alpha * dt_s_dn                  # couples to w_{i+1}
-    # excess pressure in the layer below an interface pushes it up (+w):
-    # rhs = w^n + alpha (p'_below - p'_above)
-    w_in = w[..., 1:-1]
-    rhs = w_in + alpha * (pprime[..., 1:] - pprime[..., :-1])
-    x = _thomas(a, b, c, rhs)
-
+    w_in0 = w[..., 1:-1]
     zeros = jnp.zeros_like(w[..., :1])
-    w_new = jnp.concatenate([zeros, x, zeros], axis=-1)
-    delz_new = delz + dt * (w_new[..., :-1] - w_new[..., 1:])
-    return w_new, delz_new
+    z_star = delz
+    x = w_in0
+    for _ in range(n_iter):
+        # linearize p'(delz) around z_star:
+        #   p'_k(delz) ~= P*_k - s*_k (delz - z*_k),  s* = gamma p*/z* > 0
+        # with delz_k^{n+1} = delz_k^n + dt (w_{i=k} - w_{i=k+1})
+        # (i = k is the top interface of layer k)
+        p_full, p_hyd, _t = full_pressure(delp, z_star, pt, ptop)
+        ptil = (p_full - p_hyd
+                - GAMMA * p_full / jnp.maximum(z_star, 1.0)
+                * (delz - z_star))
+        rho = delp / (GRAV * jnp.maximum(z_star, 1.0))
+        # interface means (interior interfaces 1..K-1)
+        rho_i = 0.5 * (rho[..., :-1] + rho[..., 1:])
+        dz_i = 0.5 * (z_star[..., :-1] + z_star[..., 1:])
+        s = GAMMA * p_full / jnp.maximum(z_star, 1.0)
+
+        # tridiagonal for interior interface w (M = K-1 unknowns):
+        # w_i - w_i^n = (dt/(rho_i dz_i)) [ p'_below - p'_above ]@n+1
+        alpha = dt / (rho_i * dz_i)           # [.., K-1] at interior ifaces
+        dt_s_up = dt * s[..., :-1]            # layer above iface i
+        dt_s_dn = dt * s[..., 1:]             # layer below
+        b = 1.0 + alpha * (dt_s_up + dt_s_dn)
+        a = -alpha * dt_s_up                  # couples to w_{i-1}
+        c = -alpha * dt_s_dn                  # couples to w_{i+1}
+        # excess pressure in the layer below an interface pushes it up:
+        rhs = w_in0 + alpha * (ptil[..., 1:] - ptil[..., :-1])
+        x = _thomas(a, b, c, rhs)
+        w_new = jnp.concatenate([zeros, x, zeros], axis=-1)
+        z_star = delz + dt * (w_new[..., :-1] - w_new[..., 1:])
+
+    return w_new, z_star
 
 
 def hydrostatic_delz(delp, pt, ptop):

@@ -289,30 +289,54 @@ def d_sw_substep(
     pt_new = (s.pt_x * s.pd_x + (ddx(tf.fx) + ddy(tf.fy)) * m.rarea) / delp_new
 
     # ---- nonhydrostatic horizontal transport (w mass-weighted, delz
-    # volume-weighted) + start-of-substep pressure perturbation -----------
+    # volume-weighted), then the implicit vertical acoustic solve, then
+    # the backward NH pressure force from the SOLVED fields (FV3 order:
+    # d_sw transport -> riem_solver3 -> nh_p_grad with updated pk3/gz;
+    # a lagged p' leaves an O(dt_acoustic) force error that visibly
+    # detunes the NH run from the hydrostatic limit) ----------------------
     nonhydro = s.pz_x is not None
     if nonhydro:
+        from .nh_solver import vertical_acoustic_solve
+
         wf = fvtp2d(s.pw_x, s.pw_y, crx, cry, xfx, yfx, m.area, hord=hord,
                     mfx=mf.fx, mfy=mf.fy)
-        w_new = (s.pw_x * s.pd_x
+        w_adv = (s.pw_x * s.pd_x
                  + (ddx(wf.fx) + ddy(wf.fy)) * m.rarea) / delp_new
         zf = fvtp2d(s.pz_x, s.pz_y, crx, cry, xfx, yfx, m.area, hord=hord)
-        delz_new = s.pz_x + (ddx(zf.fx) + ddy(zf.fy)) * m.rarea
-        # p' = gas-law pressure - hydrostatic pressure, lagged one substep
-        # (computed from the carried fields = last substep's implicit
-        # vertical solve output; FV3's pk3/one_grad_p time-staggering)
-        pe0 = ptop + jnp.concatenate(
-            [jnp.zeros_like(s.pd_x[..., :1]),
-             jnp.cumsum(s.pd_x, axis=-1)], axis=-1)
-        pk0 = (pe0 / P00) ** KAPPA
-        peln0 = jnp.log(pe0)
-        pkz0 = (pk0[..., 1:] - pk0[..., :-1]) / (
-            KAPPA * (peln0[..., 1:] - peln0[..., :-1]))
-        rho0 = s.pd_x / (GRAV * jnp.maximum(s.pz_x, 1.0))
-        pprime = (rho0 * RDGAS * (s.pt_x * pkz0)
-                  - 0.5 * (pe0[..., 1:] + pe0[..., :-1]))
+        delz_adv = jnp.maximum(
+            s.pz_x + (ddx(zf.fx) + ddy(zf.fy)) * m.rarea, 1.0)
+        zeros_if = jnp.zeros_like(w_adv[..., :1])
+        w_if = jnp.concatenate(
+            [zeros_if, 0.5 * (w_adv[..., :-1] + w_adv[..., 1:]), zeros_if],
+            axis=-1)
+        w_if, delz_new = vertical_acoustic_solve(
+            w_if, delz_adv, pt_new, delp_new, dt, ptop)
+        w_new = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
+
+        # backward p' and phi' from the solved state.  The hydrostatic
+        # thickness MUST be the same discrete form as
+        # nh_solver.hydrostatic_delz (delp R T / p_mid) so that both
+        # perturbations are identically zero in discrete balance; the
+        # cp*theta*dpk form differs by the log-mean vs arithmetic-mean
+        # pressure and injects a spurious O((dlnp)^2) force on coarse
+        # vertical grids.
+        pe1 = ptop + jnp.concatenate(
+            [jnp.zeros_like(delp_new[..., :1]),
+             jnp.cumsum(delp_new, axis=-1)], axis=-1)
+        pk1 = (pe1 / P00) ** KAPPA
+        peln1 = jnp.log(pe1)
+        pkz1 = (pk1[..., 1:] - pk1[..., :-1]) / (
+            KAPPA * (peln1[..., 1:] - peln1[..., :-1]))
+        p_mid1 = 0.5 * (pe1[..., 1:] + pe1[..., :-1])
+        t1 = pt_new * pkz1
+        rho1 = delp_new / (GRAV * jnp.maximum(delz_new, 1.0))
+        pprime = rho1 * RDGAS * t1 - p_mid1
+        dphi_diff = GRAV * delz_new - RDGAS * t1 * delp_new / p_mid1
+        phip_incl = jnp.cumsum(dphi_diff[..., ::-1], axis=-1)[..., ::-1]
+        phiprime = phip_incl - 0.5 * dphi_diff
+        php_c = _center_to_corner(phiprime)
         pp_c = _center_to_corner(pprime)
-        rho_c = _center_to_corner(rho0)
+        rho_c = _center_to_corner(rho1)
     else:
         w_new = delz_new = None
 
@@ -364,7 +388,8 @@ def d_sw_substep(
     if nonhydro:
         rho_u = jnp.maximum(0.5 * (rho_c[:, :, 1:] + rho_c[:, :, :-1]),
                             1.0e-8)
-        pgf_x = pgf_x + (pp_c[:, :, 1:] - pp_c[:, :, :-1]) / (rho_u * m.dx)
+        pgf_x = pgf_x + ((php_c[:, :, 1:] - php_c[:, :, :-1])
+                         + (pp_c[:, :, 1:] - pp_c[:, :, :-1]) / rho_u) / m.dx
     damp_x = d2_bg * m.dx * m.dx / dt
     ddiv_x = damp_x * (div_c[:, :, 1:] - div_c[:, :, :-1]) / m.dx
 
@@ -383,7 +408,8 @@ def d_sw_substep(
     if nonhydro:
         rho_v = jnp.maximum(0.5 * (rho_c[:, 1:, :] + rho_c[:, :-1, :]),
                             1.0e-8)
-        pgf_y = pgf_y + (pp_c[:, 1:, :] - pp_c[:, :-1, :]) / (rho_v * m.dy)
+        pgf_y = pgf_y + ((php_c[:, 1:, :] - php_c[:, :-1, :])
+                         + (pp_c[:, 1:, :] - pp_c[:, :-1, :]) / rho_v) / m.dy
     damp_y = d2_bg * m.dy * m.dy / dt
     ddiv_y = damp_y * (div_c[:, 1:, :] - div_c[:, :-1, :]) / m.dy
 
