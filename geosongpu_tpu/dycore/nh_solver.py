@@ -94,22 +94,30 @@ def vertical_acoustic_solve(w, delz, pt, delp, dt: float, ptop: float,
     Returns (w', delz')."""
     w_in0 = w[..., 1:-1]
     zeros = jnp.zeros_like(w[..., :1])
+    # Gas-law pressure at the substep-start thickness: the Newton anchor.
+    # Re-evaluations during the iteration follow the ADIABAT through that
+    # anchor, p*(z) = p0 (z0/z)^gamma, so the slope used in the matrix
+    # (s = gamma p*/z*) is the true derivative dp*/d(delz) and the fixed
+    # point is the adiabatic backward-Euler solution.  (Re-evaluating the
+    # gas law with temperature frozen at the hydrostatic Exner would make
+    # p* ~ 1/z* - an isothermal stiffness, ~18% slow sound speed.)
+    p0, p_hyd, _t = full_pressure(delp, delz, pt, ptop)
+    delz0 = jnp.maximum(delz, 1.0)
     z_star = delz
-    x = w_in0
+    w_new = w.at[..., 0].set(0.0).at[..., -1].set(0.0)  # n_iter=0: no-op
     for _ in range(n_iter):
         # linearize p'(delz) around z_star:
-        #   p'_k(delz) ~= P*_k - s*_k (delz - z*_k),  s* = gamma p*/z* > 0
+        #   p'_k(delz) ~= p*_k - s*_k (delz - z*_k),  s* = gamma p*/z* > 0
         # with delz_k^{n+1} = delz_k^n + dt (w_{i=k} - w_{i=k+1})
         # (i = k is the top interface of layer k)
-        p_full, p_hyd, _t = full_pressure(delp, z_star, pt, ptop)
-        ptil = (p_full - p_hyd
-                - GAMMA * p_full / jnp.maximum(z_star, 1.0)
-                * (delz - z_star))
-        rho = delp / (GRAV * jnp.maximum(z_star, 1.0))
+        zs = jnp.maximum(z_star, 1.0)
+        p_star = p0 * (delz0 / zs) ** GAMMA
+        ptil = p_star - p_hyd - GAMMA * p_star / zs * (delz - z_star)
+        rho = delp / (GRAV * zs)
         # interface means (interior interfaces 1..K-1)
         rho_i = 0.5 * (rho[..., :-1] + rho[..., 1:])
         dz_i = 0.5 * (z_star[..., :-1] + z_star[..., 1:])
-        s = GAMMA * p_full / jnp.maximum(z_star, 1.0)
+        s = GAMMA * p_star / zs
 
         # tridiagonal for interior interface w (M = K-1 unknowns):
         # w_i - w_i^n = (dt/(rho_i dz_i)) [ p'_below - p'_above ]@n+1

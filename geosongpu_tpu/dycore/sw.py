@@ -311,6 +311,11 @@ def d_sw_substep(
             axis=-1)
         w_if, delz_new = vertical_acoustic_solve(
             w_if, delz_adv, pt_new, delp_new, dt, ptop)
+        # clamp: under extreme forcing the linearized solve can overshoot
+        # to nonpositive thickness, which would flip the sign of the phi'
+        # force below and poison the carried state (matches the delz_adv
+        # clamp above)
+        delz_new = jnp.maximum(delz_new, 1.0)
         w_new = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
 
         # backward p' and phi' from the solved state.  The hydrostatic

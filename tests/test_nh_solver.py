@@ -129,10 +129,11 @@ def test_nh_tracks_hydrostatic_at_large_scale():
         sn = mn.step_fn(sn)
     scale = float(jnp.abs(sh.u).max()) + 1e-30
     du = float(jnp.abs(sh.u - sn.u).max())
-    assert du < 0.15 * scale, (du, scale)
-    # measured ~0.10 absolute max on theta ~300-1700 K
+    # measured 7.6% with the adiabatic Newton re-evaluation; 10% = headroom
+    assert du < 0.10 * scale, (du, scale)
+    # measured 0.119 K absolute max on theta ~300-1700 K; 0.15 = headroom
     np.testing.assert_allclose(np.asarray(sn.pt), np.asarray(sh.pt),
-                               rtol=2e-3, atol=0.2)
+                               rtol=2e-3, atol=0.15)
 
 
 def test_nh_pprime_feeds_horizontal_momentum():
