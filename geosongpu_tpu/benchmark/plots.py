@@ -57,3 +57,35 @@ def component_bars(component_times: Dict[str, float],
     fig.savefig(out_png, dpi=110, bbox_inches="tight")
     plt.close(fig)
     return out_png
+
+
+def phase_sunburst(record: BenchmarkRecord,
+                   out_png: str = "phase_sunburst.png") -> str:
+    """Ring chart of the measured phase tree (the reference renders its
+    mined GridComp hierarchy as a plotly sunburst, benchmark.py:134-157;
+    ours is measured by benchmark/phases.py, not scraped)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    pt = record.phase_tree or {}
+    phases = dict(pt.get("phases_ms", {}))
+    if not phases:
+        raise ValueError("record has no phase_tree")
+    phases["(unaccounted)"] = pt.get("unaccounted_ms", 0.0)
+    items = sorted(phases.items(), key=lambda kv: -kv[1])
+    labels = [f"{k}\n{v:.1f} ms" for k, v in items]
+    vals = [max(v, 0.0) for _, v in items]
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    ax.pie(vals, labels=labels, wedgeprops=dict(width=0.42),
+           startangle=90, textprops={"fontsize": 9})
+    total = pt.get("full_step_ms", sum(vals))
+    ax.text(0, 0, f"step\n{total:.1f} ms", ha="center", va="center",
+            fontsize=13)
+    ax.set_title(f"{record.experiment} [{record.backend}] "
+                 f"c{record.grid['npx']}-L{record.grid['npz']}")
+    fig.savefig(out_png, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    return out_png

@@ -28,6 +28,13 @@ class BenchmarkRecord:
     compile_time_s: float = 0.0       # warm-up (JIT) time, excluded from steps
     step_time_s: List[float] = field(default_factory=list)
     extra: Dict[str, float] = field(default_factory=dict)
+    # measured hierarchical phase breakdown (benchmark/phases.py PhaseTree
+    # .to_dict(); the reference mines this tree from GEOS logs,
+    # geos_log_parser.py:79-269 - here it is measured directly)
+    phase_tree: Optional[dict] = None
+    # energy envelope of the run (hws/analysis.py EnergyReport fields);
+    # the reference folds this into its comparison, report.py:168-202
+    energy: Optional[dict] = None
 
     # -- derived metrics (match reference report.py:123-166 definitions) --
     @property
@@ -95,6 +102,13 @@ def compare(a: BenchmarkRecord, b: BenchmarkRecord) -> Dict[str, float]:
         out["speedup_median_step"] = a.median_step_s / b.median_step_s
     out["grid_points_per_s_a"] = a.grid_points_per_s
     out["grid_points_per_s_b"] = b.grid_points_per_s
+    # energy-envelope comparison (reference report.py:168-202)
+    ea = (a.energy or {}).get("total_kwh", 0.0)
+    eb = (b.energy or {}).get("total_kwh", 0.0)
+    if ea > 0 and eb > 0:
+        out["energy_kwh_a"] = ea
+        out["energy_kwh_b"] = eb
+        out["energy_ratio"] = ea / eb
     return out
 
 
@@ -114,12 +128,30 @@ def report(records: List[BenchmarkRecord]) -> str:
             f"total {r.total_run_s:.2f} s over {len(r.step_time_s)} steps, "
             f"compile {r.compile_time_s:.2f} s, "
             f"{r.grid_points_per_s:,.0f} gridpoints/s")
+        if r.energy:
+            lines.append(
+                f"  energy: {r.energy.get('total_kwh', 0.0):.6f} kWh "
+                f"(tpu {r.energy.get('tpu_kwh', 0.0):.6f}, "
+                f"cpu {r.energy.get('cpu_kwh', 0.0):.6f})")
+        if r.phase_tree:
+            pt = r.phase_tree
+            lines.append("  phase breakdown (measured, per step):")
+            for k, v in sorted(pt.get("phases_ms", {}).items(),
+                               key=lambda kv: -kv[1]):
+                pct = pt.get("phases_pct", {}).get(k, 0.0)
+                lines.append(f"    {k:<24s} {v:8.2f} ms {pct:5.1f}%")
+            lines.append(
+                f"    {'(unaccounted)':<24s} "
+                f"{pt.get('unaccounted_ms', 0.0):8.2f} ms")
     for i in range(len(records)):
         for j in range(i + 1, len(records)):
             a, b = records[i], records[j]
             c = compare(a, b)
-            lines.append(
-                f"- {b.backend} vs {a.backend}: "
+            line = (
+                f"- {b.experiment}[{b.backend}] vs {a.experiment}[{a.backend}]: "
                 f"total x{c.get('speedup_total_run', float('nan')):.2f}, "
                 f"median step x{c.get('speedup_median_step', float('nan')):.2f}")
+            if "energy_ratio" in c:
+                line += f", energy x{c['energy_ratio']:.2f}"
+            lines.append(line)
     return "\n".join(lines)

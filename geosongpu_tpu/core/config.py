@@ -38,6 +38,20 @@ class DycoreConfig:
                             # control for the accumulated fluxes)
     pallas_microphysics: bool = False  # fused Pallas TPU kernel for the
                                        # GFDL-lite microphysics column chain
+    pallas_dycore: bool = False  # run the d_sw substep chain as fused
+                                 # Pallas kernels (dycore/sw_pallas.py);
+                                 # same math, VMEM-fused scheduling
+    pallas_kt: int = 0           # vertical tile for the dycore kernels
+                                 # (0 = whole column per block)
+    remap_band: int = 0   # banded vertical remap half-width in layers
+                          # (0 = the full O(K^2) overlap form).  The banded
+                          # form is exact while Lagrangian deformation
+                          # stays within the band (gated in HS check()),
+                          # but in jnp/XLA its 2*band+1 shifted copies
+                          # MATERIALIZE and lose to the fused O(K^2)
+                          # broadcast-reduce on TPU (measured 32->41 ms at
+                          # c48-L72); keep 0 until the remap runs as a
+                          # Pallas kernel with VMEM-resident shifts
     vertical: str = "hybrid"  # "sigma" | "hybrid"
     dtype: str = "float32"  # reference runs PACE_FLOAT_PRECISION=32
                             # (/root/reference/src/tcn/ci/pipeline/gtfv3_config.py:11)

@@ -24,7 +24,7 @@ import numpy as np
 from ..core.config import DycoreConfig
 from ..core.grid import Grid, KAPPA
 from ..core.state import DycoreState
-from ..ops.remap import remap_field
+from ..ops.remap import remap_field, remap_field_banded
 from ..parallel.halo import HaloOps, build_halo_ops
 from .sw import PaddedMetrics, d_sw_substep, fill_substep, padded_metrics
 
@@ -50,7 +50,16 @@ def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
     )
 
 
-def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, n, kord):
+def _make_remap(cfg: DycoreConfig):
+    """Pick the remap kernel: banded (exact within cfg.remap_band layers
+    of deformation, O(K*band)) or the full O(K^2) overlap form."""
+    if cfg.remap_band > 0:
+        return lambda q, pe1, pe2: remap_field_banded(
+            q, pe1, pe2, cfg.kord, band=cfg.remap_band)
+    return lambda q, pe1, pe2: remap_field(q, pe1, pe2, cfg.kord)
+
+
+def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, n, rm):
     """Remap D-grid winds on their own staggered columns."""
     # delp at u-points (average across the y-interface), interior + the
     # face-boundary interfaces (uses one halo row)
@@ -60,7 +69,7 @@ def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, n, kord):
         [jnp.zeros_like(dpu[..., :1]), jnp.cumsum(dpu, axis=-1)], axis=-1)
     pe1u = pe1u + ptop
     pe2u = ak + bk * pe1u[..., -1:]
-    u_new = remap_field(u, pe1u, pe2u, kord)
+    u_new = rm(u, pe1u, pe2u)
 
     dpv = 0.5 * (delp_padded[:, h:h + n, h - 1:h + n] +
                  delp_padded[:, h:h + n, h:h + n + 1])  # [6, n, n+1, K]
@@ -68,7 +77,7 @@ def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, n, kord):
         [jnp.zeros_like(dpv[..., :1]), jnp.cumsum(dpv, axis=-1)], axis=-1)
     pe1v = pe1v + ptop
     pe2v = ak + bk * pe1v[..., -1:]
-    v_new = remap_field(v, pe1v, pe2v, kord)
+    v_new = rm(v, pe1v, pe2v)
     return u_new, v_new
 
 
@@ -128,15 +137,24 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     else:
         w = delz = None
 
+    if cfg.pallas_dycore:
+        from .sw_pallas import d_sw_substep_pallas
+        substep_fn = lambda s: d_sw_substep_pallas(
+            s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
+            d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
+            kt=cfg.pallas_kt or None)
+    else:
+        substep_fn = lambda s: d_sw_substep(
+            s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
+            d2_bg=cfg.d2_bg, advect_tracers=substep_tracers)
+
     def substep(carry, _):
         u, v, delp, pt, q, w, delz, mfx_acc, mfy_acc, tacc = carry
         s = fill_substep(ops, u, v, delp, pt,
                          q if substep_tracers else None,
                          w=w if nonhydro else None,
                          delz=delz if nonhydro else None)
-        out = d_sw_substep(s, m, ops, dt_acoustic, cfg.ptop,
-                           hord=cfg.hord, d2_bg=cfg.d2_bg,
-                           advect_tracers=substep_tracers)
+        out = substep_fn(s)
         if nonhydro:
             # the implicit vertical acoustic solve runs inside
             # d_sw_substep (before the wind update, so the NH pressure
@@ -193,23 +211,21 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
         ps = pe1[..., -1]
         pe2 = ctx.ak + ctx.bk * ps[..., None]
         delp_new = pe2[..., 1:] - pe2[..., :-1]
-        pt = remap_field(pt, pe1, pe2, cfg.kord)
+        rm = _make_remap(cfg)
+        pt = rm(pt, pe1, pe2)
         if q is not None:
             qs = jnp.moveaxis(q, -1, 0)
             qs = jnp.stack(
-                [remap_field(qs[t], pe1, pe2, cfg.kord)
-                 for t in range(qs.shape[0])], axis=0)
+                [rm(qs[t], pe1, pe2) for t in range(qs.shape[0])], axis=0)
             q = jnp.moveaxis(qs, 0, -1)
         if nonhydro:
             # w remaps mass-weighted like any scalar; delz via its
             # per-unit-mass form (specific volume * g) so total column
             # height is conserved through the remap
-            w = remap_field(w, pe1, pe2, cfg.kord)
-            delz = remap_field(delz / jnp.maximum(delp, 1e-3),
-                               pe1, pe2, cfg.kord) * delp_new
+            w = rm(w, pe1, pe2)
+            delz = rm(delz / jnp.maximum(delp, 1e-3), pe1, pe2) * delp_new
         dpad = ops.fill(delp, "x")
-        u, v = _remap_winds(u, v, dpad, ctx.ak, ctx.bk, cfg.ptop, h, n,
-                            cfg.kord)
+        u, v = _remap_winds(u, v, dpad, ctx.ak, ctx.bk, cfg.ptop, h, n, rm)
         delp = delp_new
 
     # w/delz are prognosed in NH mode (advected in d_sw, implicit vertical

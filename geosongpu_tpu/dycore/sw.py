@@ -47,7 +47,12 @@ P00 = 1.0e5
 
 
 class PaddedMetrics(NamedTuple):
-    """Device-resident padded grid arrays used every substep."""
+    """Device-resident padded grid arrays used every substep.
+
+    Reciprocals (r*) are precomputed: dividing a [*, K] field by a
+    [*, 1] metric broadcasts into a full-size VPU divide (several times a
+    multiply); the substep is VPU-flop-bound so every hoisted divide
+    shows up on the step time."""
 
     area: jnp.ndarray    # [6, N, N, 1]
     rarea: jnp.ndarray
@@ -61,10 +66,15 @@ class PaddedMetrics(NamedTuple):
     rsina_i: jnp.ndarray
     cosa_j: jnp.ndarray  # [6, N+1, N, 1] at y-interfaces
     rsina_j: jnp.ndarray
+    rdx: jnp.ndarray     # 1/dx
+    rdy: jnp.ndarray
+    rdxc: jnp.ndarray
+    rdyc: jnp.ndarray
 
 
 def padded_metrics(grid: Grid) -> PaddedMetrics:
     a = lambda x: jnp.asarray(x)[..., None]
+    r = lambda x: (1.0 / jnp.asarray(x))[..., None]
     ap = jnp.pad(jnp.asarray(grid.area), ((0, 0), (1, 1), (1, 1)), mode="edge")
     area_c = 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
     return PaddedMetrics(
@@ -80,6 +90,10 @@ def padded_metrics(grid: Grid) -> PaddedMetrics:
         rsina_i=a(grid.rsina_i),
         cosa_j=a(grid.cosa_j),
         rsina_j=a(grid.rsina_j),
+        rdx=r(grid.dx),
+        rdy=r(grid.dy),
+        rdxc=r(grid.dxc),
+        rdyc=r(grid.dyc),
     )
 
 
@@ -142,9 +156,19 @@ def _center_to_yiface(a):
     return jnp.concatenate([a[:, :1, :], mid, a[:, -1:, :]], axis=1)
 
 
+def _pad_edge(a, axis: int, before: int = 1, after: int = 1):
+    """Edge-replication pad via explicit concat (Pallas-safe: jnp.pad's
+    edge mode fails to lower in Mosaic; values identical)."""
+    idx0 = [slice(None)] * a.ndim
+    idx0[axis] = slice(0, 1)
+    idx1 = [slice(None)] * a.ndim
+    idx1[axis] = slice(a.shape[axis] - 1, a.shape[axis])
+    parts = [a[tuple(idx0)]] * before + [a] + [a[tuple(idx1)]] * after
+    return jnp.concatenate(parts, axis=axis)
+
+
 def _center_to_corner(a):
-    ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1)) + ((0, 0),) * (a.ndim - 3),
-                 mode="edge")
+    ap = _pad_edge(_pad_edge(a, 1), 2)
     return 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
 
 
@@ -175,12 +199,11 @@ def _hydrostatic_fields(delp, pt, ptop):
 # c_sw: half-step -> time-centered C-grid winds
 # --------------------------------------------------------------------------
 
-def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float):
-    """Returns (uc*, vc*): advective *normal* winds at t + dt/2 on the
-    C-grid.  The interpolated coordinate components are projected onto the
-    interface normals ((V.e1 - cosa V.e2) / sina), which makes the fluxes
-    metrically consistent on the non-orthogonal gnomonic grid (FV3's
-    ut/vt contravariant conversion)."""
+def c_sw_part1(s: SWState, m: PaddedMetrics, dt2: float):
+    """C-grid winds (projected onto interface normals), half-step upwind
+    mass/pt update, center KE and absolute vorticity.  Purely horizontal
+    (no vertical coupling) so it can run inside a Pallas kernel; the
+    hydrostatic integrals of (delp_h, pt_h) happen outside."""
     ua = _avg_u_to_center(s.pu)
     va = _avg_v_to_center(s.pv)
     uc = _center_to_xiface(ua)              # [6, N, N+1, K]
@@ -192,8 +215,8 @@ def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float):
     vc = (vc - m.cosa_j * ua_j) * m.rsina_j
 
     # half-step upwind mass/pt update
-    crx = uc * dt2 / m.dxc
-    cry = vc * dt2 / m.dyc
+    crx = uc * dt2 * m.rdxc
+    cry = vc * dt2 * m.rdyc
     fx_m = upwind_flux(s.pd_x, crx, axis=2) * uc * dt2 * m.dy
     fy_m = upwind_flux(s.pd_y, cry, axis=1) * vc * dt2 * m.dx
     delp_h = s.pd_x + (ddx(fx_m) + ddy(fy_m)) * m.rarea
@@ -201,33 +224,57 @@ def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float):
     fy_t = upwind_flux(s.pt_y, cry, axis=1) * fy_m
     pt_h = (s.pt_x * s.pd_x + (ddx(fx_t) + ddy(fy_t)) * m.rarea) / delp_h
 
-    # backward PGF from half-updated fields; compact C-grid gradients
-    pkz, phi = _hydrostatic_fields(delp_h, pt_h, ptop)
     ke = 0.5 * (ua * ua + va * va)
     vort = _vorticity_abs(s.pu, s.pv, m)
+    return uc, vc, delp_h, pt_h, ke, vort
 
+
+def c_sw_part2(uc, vc, pt_h, pkz, phi, ke, vort, m: PaddedMetrics,
+               dt2: float):
+    """Interface wind update from the half-updated PGF -> time-centered
+    advective winds (uc*, vc*).  Horizontal only."""
     # x-interface update (interior interfaces [1, N-1]; edges left unchanged)
     ptx = 0.5 * (pt_h[:, :, :-1] + pt_h[:, :, 1:])
     gx = ((phi[:, :, 1:] - phi[:, :, :-1])
-          + CP_AIR * ptx * (pkz[:, :, 1:] - pkz[:, :, :-1])) / m.dxc[:, :, 1:-1]
-    kex = (ke[:, :, 1:] - ke[:, :, :-1]) / m.dxc[:, :, 1:-1]
+          + CP_AIR * ptx * (pkz[:, :, 1:] - pkz[:, :, :-1])) * m.rdxc[:, :, 1:-1]
+    kex = (ke[:, :, 1:] - ke[:, :, :-1]) * m.rdxc[:, :, 1:-1]
     vortx = 0.5 * (vort[:, :, :-1] + vort[:, :, 1:])
     # vc at the x-interface: average 4 surrounding y-interface values
     vcx = 0.25 * (vc[:, :-1, :-1] + vc[:, :-1, 1:]
                   + vc[:, 1:, :-1] + vc[:, 1:, 1:])
-    uc_t = uc.at[:, :, 1:-1].add(dt2 * (vortx * vcx - kex - gx))
+    # concat-assembled update (Pallas-safe; .at[].add lowers to scatter-add
+    # which Mosaic does not implement; values identical)
+    uc_t = jnp.concatenate(
+        [uc[:, :, :1],
+         uc[:, :, 1:-1] + dt2 * (vortx * vcx - kex - gx),
+         uc[:, :, -1:]], axis=2)
 
     # y-interface update
     pty = 0.5 * (pt_h[:, :-1, :] + pt_h[:, 1:, :])
     gy = ((phi[:, 1:, :] - phi[:, :-1, :])
-          + CP_AIR * pty * (pkz[:, 1:, :] - pkz[:, :-1, :])) / m.dyc[:, 1:-1, :]
-    key = (ke[:, 1:, :] - ke[:, :-1, :]) / m.dyc[:, 1:-1, :]
+          + CP_AIR * pty * (pkz[:, 1:, :] - pkz[:, :-1, :])) * m.rdyc[:, 1:-1, :]
+    key = (ke[:, 1:, :] - ke[:, :-1, :]) * m.rdyc[:, 1:-1, :]
     vorty = 0.5 * (vort[:, :-1, :] + vort[:, 1:, :])
     ucy = 0.25 * (uc[:, :-1, :-1] + uc[:, :-1, 1:]
                   + uc[:, 1:, :-1] + uc[:, 1:, 1:])
-    vc_t = vc.at[:, 1:-1, :].add(dt2 * (-vorty * ucy - key - gy))
+    vc_t = jnp.concatenate(
+        [vc[:, :1, :],
+         vc[:, 1:-1, :] + dt2 * (-vorty * ucy - key - gy),
+         vc[:, -1:, :]], axis=1)
 
     return uc_t, vc_t
+
+
+def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float):
+    """Returns (uc*, vc*): advective *normal* winds at t + dt/2 on the
+    C-grid.  The interpolated coordinate components are projected onto the
+    interface normals ((V.e1 - cosa V.e2) / sina), which makes the fluxes
+    metrically consistent on the non-orthogonal gnomonic grid (FV3's
+    ut/vt contravariant conversion)."""
+    uc, vc, delp_h, pt_h, ke, vort = c_sw_part1(s, m, dt2)
+    # backward PGF from half-updated fields; compact C-grid gradients
+    pkz, phi = _hydrostatic_fields(delp_h, pt_h, ptop)
+    return c_sw_part2(uc, vc, pt_h, pkz, phi, ke, vort, m, dt2)
 
 
 # --------------------------------------------------------------------------
@@ -256,6 +303,169 @@ class SubstepOut(NamedTuple):
     mfy_pad: jnp.ndarray
 
 
+def transport_part(s: SWState, m: PaddedMetrics, crx, cry, xfx, yfx,
+                   hord: int, advect_tracers: bool):
+    """All PPM transport of one substep (horizontal only, Pallas-safe):
+    mass, heat, NH w (mass-weighted) / delz (volume-weighted), tracers.
+
+    Returns (delp_new, pt_new, w_adv, delz_adv, q_new, mf)."""
+    # the inner-update denominators are shared by every transported field:
+    # compute their reciprocals once (full-size divides dominate otherwise)
+    rax = 1.0 / (m.area + ddx(xfx))
+    ray = 1.0 / (m.area + ddy(yfx))
+    mf = fvtp2d(s.pd_x, s.pd_y, crx, cry, xfx, yfx, m.area, hord=hord,
+                rax=rax, ray=ray)
+    delp_new = s.pd_x + (ddx(mf.fx) + ddy(mf.fy)) * m.rarea
+    rdelp_new = 1.0 / delp_new
+
+    tf = fvtp2d(s.pt_x, s.pt_y, crx, cry, xfx, yfx, m.area, hord=hord,
+                mfx=mf.fx, mfy=mf.fy, rax=rax, ray=ray)
+    pt_new = (s.pt_x * s.pd_x
+              + (ddx(tf.fx) + ddy(tf.fy)) * m.rarea) * rdelp_new
+
+    if s.pz_x is not None:
+        wf = fvtp2d(s.pw_x, s.pw_y, crx, cry, xfx, yfx, m.area, hord=hord,
+                    mfx=mf.fx, mfy=mf.fy, rax=rax, ray=ray)
+        w_adv = (s.pw_x * s.pd_x
+                 + (ddx(wf.fx) + ddy(wf.fy)) * m.rarea) * rdelp_new
+        zf = fvtp2d(s.pz_x, s.pz_y, crx, cry, xfx, yfx, m.area, hord=hord,
+                    rax=rax, ray=ray)
+        delz_adv = jnp.maximum(
+            s.pz_x + (ddx(zf.fx) + ddy(zf.fy)) * m.rarea, 1.0)
+    else:
+        w_adv = delz_adv = None
+
+    if s.pq_x is not None and advect_tracers:
+        T = s.pq_x.shape[-1]
+        qs = []
+        for t in range(T):
+            qf = fvtp2d(s.pq_x[..., t], s.pq_y[..., t], crx, cry, xfx, yfx,
+                        m.area, hord=hord, mfx=mf.fx, mfy=mf.fy,
+                        rax=rax, ray=ray)
+            qdp = s.pq_x[..., t] * s.pd_x + (ddx(qf.fx) + ddy(qf.fy)) * m.rarea
+            qs.append(qdp * rdelp_new)
+        q_new = jnp.stack(qs, axis=-1)
+    else:
+        q_new = None
+    return delp_new, pt_new, w_adv, delz_adv, q_new, mf
+
+
+def nh_perturbation_fields(delp_new, pt_new, delz_new, ptop: float):
+    """Backward p' and phi' from the solved NH state (vertically coupled).
+
+    The hydrostatic thickness MUST be the same discrete form as
+    nh_solver.hydrostatic_delz (delp R T / p_mid) so that both
+    perturbations are identically zero in discrete balance; the
+    cp*theta*dpk form differs by the log-mean vs arithmetic-mean
+    pressure and injects a spurious O((dlnp)^2) force on coarse
+    vertical grids."""
+    pe1 = ptop + jnp.concatenate(
+        [jnp.zeros_like(delp_new[..., :1]),
+         jnp.cumsum(delp_new, axis=-1)], axis=-1)
+    pk1 = (pe1 / P00) ** KAPPA
+    peln1 = jnp.log(pe1)
+    pkz1 = (pk1[..., 1:] - pk1[..., :-1]) / (
+        KAPPA * (peln1[..., 1:] - peln1[..., :-1]))
+    p_mid1 = 0.5 * (pe1[..., 1:] + pe1[..., :-1])
+    t1 = pt_new * pkz1
+    rho1 = delp_new / (GRAV * jnp.maximum(delz_new, 1.0))
+    pprime = rho1 * RDGAS * t1 - p_mid1
+    dphi_diff = GRAV * delz_new - RDGAS * t1 * delp_new / p_mid1
+    phip_incl = jnp.cumsum(dphi_diff[..., ::-1], axis=-1)[..., ::-1]
+    phiprime = phip_incl - 0.5 * dphi_diff
+    return pprime, phiprime, rho1
+
+
+def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
+              pt_new, pkz, phi_mid, nh_fields, dt: float, hord: int,
+              d2_bg: float):
+    """D-grid vector-invariant wind update (horizontal only, Pallas-safe).
+
+    pkz/phi_mid: hydrostatic fields of the post-transport state (computed
+    outside - vertically coupled).  nh_fields: optional
+    (pprime, phiprime, rho1) cell-centered NH perturbations.
+    Returns (u_new, v_new) padded."""
+    phi_c = _center_to_corner(phi_mid)
+    pkz_c = _center_to_corner(pkz)
+    pt_c = _center_to_corner(pt_new)
+    nonhydro = nh_fields is not None
+    if nonhydro:
+        pprime, phiprime, rho1 = nh_fields
+        php_c = _center_to_corner(phiprime)
+        pp_c = _center_to_corner(pprime)
+        rho_c = _center_to_corner(rho1)
+
+    # ---- KE (corners, centered winds) + vorticity + divergence ----------
+    ub = 0.5 * (uct[:, :-1, :] + uct[:, 1:, :])   # corner [6, N-1, N+1, K]
+    ub = _pad_edge(ub, 1)
+    vb = 0.5 * (vct[:, :, :-1] + vct[:, :, 1:])   # corner [6, N+1, N-1, K]
+    vb = _pad_edge(vb, 2)
+    ke_c = 0.5 * (ub * ub + vb * vb)              # [6, N+1, N+1, K]
+
+    vort_abs = _vorticity_abs(s.pu, s.pv, m)      # centers
+
+    upad, vpad = s.pu, s.pv
+    du = upad[:, :, 1:] - upad[:, :, :-1]
+    dv = vpad[:, 1:, :] - vpad[:, :-1, :]
+    # reciprocals of the (K=1) metric averages: keeps the K-broadcast
+    # operation a multiply
+    rdx_u = 1.0 / (0.5 * (m.dx[:, 1:-1, :-1] + m.dx[:, 1:-1, 1:]))
+    rdy_v = 1.0 / (0.5 * (m.dy[:, :-1, 1:-1] + m.dy[:, 1:, 1:-1]))
+    div_core = du[:, 1:-1, :] * rdx_u + dv[:, :, 1:-1] * rdy_v
+    div_c = _pad_edge(_pad_edge(div_core, 1), 2)
+
+    # ---- D-grid wind update --------------------------------------------
+    # vorticity flux with PPM-upwinded absolute vorticity (the 2-pt
+    # average is not enstrophy-stable: eddies amplify nonlinearly after
+    # ~10 simulated days; upwinding dissipates enstrophy at the grid
+    # scale, FV3's hord_vt treatment)
+    vort_u = ppm_flux(vort_abs, cry, axis=1, hord=hord)
+    dke_x = (ke_c[:, :, 1:] - ke_c[:, :, :-1]) * m.rdx
+    pt_u = 0.5 * (pt_c[:, :, 1:] + pt_c[:, :, :-1])
+    pgf_x = ((phi_c[:, :, 1:] - phi_c[:, :, :-1])
+             + CP_AIR * pt_u * (pkz_c[:, :, 1:] - pkz_c[:, :, :-1])) * m.rdx
+    if nonhydro:
+        rho_u = jnp.maximum(0.5 * (rho_c[:, :, 1:] + rho_c[:, :, :-1]),
+                            1.0e-8)
+        pgf_x = pgf_x + ((php_c[:, :, 1:] - php_c[:, :, :-1])
+                         + (pp_c[:, :, 1:] - pp_c[:, :, :-1]) / rho_u) * m.rdx
+    damp_x = (d2_bg / dt) * m.dx  # x (dx^2/dx) folded: damp * ddiv / dx
+    ddiv_x = damp_x * (div_c[:, :, 1:] - div_c[:, :, :-1])
+
+    u_new = jnp.concatenate(
+        [upad[:, :1, :],
+         upad[:, 1:-1, :] + dt * (
+             vort_u[:, 1:-1, :] * vct[:, 1:-1, :]
+             - dke_x[:, 1:-1, :]
+             - pgf_x[:, 1:-1, :]
+             + ddiv_x[:, 1:-1, :]),
+         upad[:, -1:, :]], axis=1)
+
+    # v-points
+    vort_v = ppm_flux(vort_abs, crx, axis=2, hord=hord)
+    dke_y = (ke_c[:, 1:, :] - ke_c[:, :-1, :]) * m.rdy
+    pt_v = 0.5 * (pt_c[:, 1:, :] + pt_c[:, :-1, :])
+    pgf_y = ((phi_c[:, 1:, :] - phi_c[:, :-1, :])
+             + CP_AIR * pt_v * (pkz_c[:, 1:, :] - pkz_c[:, :-1, :])) * m.rdy
+    if nonhydro:
+        rho_v = jnp.maximum(0.5 * (rho_c[:, 1:, :] + rho_c[:, :-1, :]),
+                            1.0e-8)
+        pgf_y = pgf_y + ((php_c[:, 1:, :] - php_c[:, :-1, :])
+                         + (pp_c[:, 1:, :] - pp_c[:, :-1, :]) / rho_v) * m.rdy
+    damp_y = (d2_bg / dt) * m.dy
+    ddiv_y = damp_y * (div_c[:, 1:, :] - div_c[:, :-1, :])
+
+    v_new = jnp.concatenate(
+        [vpad[:, :, :1],
+         vpad[:, :, 1:-1] + dt * (
+             -vort_v[:, :, 1:-1] * uct[:, :, 1:-1]
+             - dke_y[:, :, 1:-1]
+             - pgf_y[:, :, 1:-1]
+             + ddiv_y[:, :, 1:-1]),
+         vpad[:, :, -1:]], axis=2)
+    return u_new, v_new
+
+
 def d_sw_substep(
     s: SWState,
     m: PaddedMetrics,
@@ -275,22 +485,17 @@ def d_sw_substep(
     # ---- time-centered advective winds ---------------------------------
     uct, vct = c_sw(s, m, 0.5 * dt, ptop)
 
-    crx = uct * dt / m.dxc
-    cry = vct * dt / m.dyc
+    crx = uct * dt * m.rdxc
+    cry = vct * dt * m.rdyc
     xfx = uct * dt * m.dy
     yfx = vct * dt * m.dx
 
-    # ---- mass fluxes + conservative updates ----------------------------
-    mf = fvtp2d(s.pd_x, s.pd_y, crx, cry, xfx, yfx, m.area, hord=hord)
-    delp_new = s.pd_x + (ddx(mf.fx) + ddy(mf.fy)) * m.rarea
+    # ---- transport + conservative updates ------------------------------
+    delp_new, pt_new, w_adv, delz_adv, q_new, mf = transport_part(
+        s, m, crx, cry, xfx, yfx, hord, advect_tracers)
 
-    tf = fvtp2d(s.pt_x, s.pt_y, crx, cry, xfx, yfx, m.area, hord=hord,
-                mfx=mf.fx, mfy=mf.fy)
-    pt_new = (s.pt_x * s.pd_x + (ddx(tf.fx) + ddy(tf.fy)) * m.rarea) / delp_new
-
-    # ---- nonhydrostatic horizontal transport (w mass-weighted, delz
-    # volume-weighted), then the implicit vertical acoustic solve, then
-    # the backward NH pressure force from the SOLVED fields (FV3 order:
+    # ---- nonhydrostatic: the implicit vertical acoustic solve, then the
+    # backward NH pressure force from the SOLVED fields (FV3 order:
     # d_sw transport -> riem_solver3 -> nh_p_grad with updated pk3/gz;
     # a lagged p' leaves an O(dt_acoustic) force error that visibly
     # detunes the NH run from the hydrostatic limit) ----------------------
@@ -298,13 +503,6 @@ def d_sw_substep(
     if nonhydro:
         from .nh_solver import vertical_acoustic_solve
 
-        wf = fvtp2d(s.pw_x, s.pw_y, crx, cry, xfx, yfx, m.area, hord=hord,
-                    mfx=mf.fx, mfy=mf.fy)
-        w_adv = (s.pw_x * s.pd_x
-                 + (ddx(wf.fx) + ddy(wf.fy)) * m.rarea) / delp_new
-        zf = fvtp2d(s.pz_x, s.pz_y, crx, cry, xfx, yfx, m.area, hord=hord)
-        delz_adv = jnp.maximum(
-            s.pz_x + (ddx(zf.fx) + ddy(zf.fy)) * m.rarea, 1.0)
         zeros_if = jnp.zeros_like(w_adv[..., :1])
         w_if = jnp.concatenate(
             [zeros_if, 0.5 * (w_adv[..., :-1] + w_adv[..., 1:]), zeros_if],
@@ -317,112 +515,16 @@ def d_sw_substep(
         # clamp above)
         delz_new = jnp.maximum(delz_new, 1.0)
         w_new = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
-
-        # backward p' and phi' from the solved state.  The hydrostatic
-        # thickness MUST be the same discrete form as
-        # nh_solver.hydrostatic_delz (delp R T / p_mid) so that both
-        # perturbations are identically zero in discrete balance; the
-        # cp*theta*dpk form differs by the log-mean vs arithmetic-mean
-        # pressure and injects a spurious O((dlnp)^2) force on coarse
-        # vertical grids.
-        pe1 = ptop + jnp.concatenate(
-            [jnp.zeros_like(delp_new[..., :1]),
-             jnp.cumsum(delp_new, axis=-1)], axis=-1)
-        pk1 = (pe1 / P00) ** KAPPA
-        peln1 = jnp.log(pe1)
-        pkz1 = (pk1[..., 1:] - pk1[..., :-1]) / (
-            KAPPA * (peln1[..., 1:] - peln1[..., :-1]))
-        p_mid1 = 0.5 * (pe1[..., 1:] + pe1[..., :-1])
-        t1 = pt_new * pkz1
-        rho1 = delp_new / (GRAV * jnp.maximum(delz_new, 1.0))
-        pprime = rho1 * RDGAS * t1 - p_mid1
-        dphi_diff = GRAV * delz_new - RDGAS * t1 * delp_new / p_mid1
-        phip_incl = jnp.cumsum(dphi_diff[..., ::-1], axis=-1)[..., ::-1]
-        phiprime = phip_incl - 0.5 * dphi_diff
-        php_c = _center_to_corner(phiprime)
-        pp_c = _center_to_corner(pprime)
-        rho_c = _center_to_corner(rho1)
+        nh_fields = nh_perturbation_fields(delp_new, pt_new, delz_new, ptop)
     else:
         w_new = delz_new = None
+        nh_fields = None
 
-    if s.pq_x is not None and advect_tracers:
-        T = s.pq_x.shape[-1]
-        qs = []
-        for t in range(T):
-            qf = fvtp2d(s.pq_x[..., t], s.pq_y[..., t], crx, cry, xfx, yfx,
-                        m.area, hord=hord, mfx=mf.fx, mfy=mf.fy)
-            qdp = s.pq_x[..., t] * s.pd_x + (ddx(qf.fx) + ddy(qf.fy)) * m.rarea
-            qs.append(qdp / delp_new)
-        q_new = jnp.stack(qs, axis=-1)
-    else:
-        q_new = None
-
-    # ---- hydrostatic PGF from updated mass/temperature (backward) -------
+    # ---- hydrostatic PGF fields from updated mass/temperature (backward)
     pkz, phi_mid = _hydrostatic_fields(delp_new, pt_new, ptop)
-    phi_c = _center_to_corner(phi_mid)
-    pkz_c = _center_to_corner(pkz)
-    pt_c = _center_to_corner(pt_new)
 
-    # ---- KE (corners, centered winds) + vorticity + divergence ----------
-    ub = 0.5 * (uct[:, :-1, :] + uct[:, 1:, :])   # corner [6, N-1, N+1, K]
-    ub = jnp.pad(ub, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
-    vb = 0.5 * (vct[:, :, :-1] + vct[:, :, 1:])   # corner [6, N+1, N-1, K]
-    vb = jnp.pad(vb, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
-    ke_c = 0.5 * (ub * ub + vb * vb)              # [6, N+1, N+1, K]
-
-    vort_abs = _vorticity_abs(s.pu, s.pv, m)      # centers
-
-    upad, vpad = s.pu, s.pv
-    du = upad[:, :, 1:] - upad[:, :, :-1]
-    dv = vpad[:, 1:, :] - vpad[:, :-1, :]
-    dx_u = 0.5 * (m.dx[:, 1:-1, :-1] + m.dx[:, 1:-1, 1:])
-    dy_v = 0.5 * (m.dy[:, :-1, 1:-1] + m.dy[:, 1:, 1:-1])
-    div_core = du[:, 1:-1, :] / dx_u + dv[:, :, 1:-1] / dy_v
-    div_c = jnp.pad(div_core, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-
-    # ---- D-grid wind update --------------------------------------------
-    # vorticity flux with PPM-upwinded absolute vorticity (the 2-pt
-    # average is not enstrophy-stable: eddies amplify nonlinearly after
-    # ~10 simulated days; upwinding dissipates enstrophy at the grid
-    # scale, FV3's hord_vt treatment)
-    vort_u = ppm_flux(vort_abs, cry, axis=1, hord=hord)
-    dke_x = (ke_c[:, :, 1:] - ke_c[:, :, :-1]) / m.dx
-    pt_u = 0.5 * (pt_c[:, :, 1:] + pt_c[:, :, :-1])
-    pgf_x = ((phi_c[:, :, 1:] - phi_c[:, :, :-1])
-             + CP_AIR * pt_u * (pkz_c[:, :, 1:] - pkz_c[:, :, :-1])) / m.dx
-    if nonhydro:
-        rho_u = jnp.maximum(0.5 * (rho_c[:, :, 1:] + rho_c[:, :, :-1]),
-                            1.0e-8)
-        pgf_x = pgf_x + ((php_c[:, :, 1:] - php_c[:, :, :-1])
-                         + (pp_c[:, :, 1:] - pp_c[:, :, :-1]) / rho_u) / m.dx
-    damp_x = d2_bg * m.dx * m.dx / dt
-    ddiv_x = damp_x * (div_c[:, :, 1:] - div_c[:, :, :-1]) / m.dx
-
-    u_new = upad.at[:, 1:-1, :].add(dt * (
-        vort_u[:, 1:-1, :] * vct[:, 1:-1, :]
-        - dke_x[:, 1:-1, :]
-        - pgf_x[:, 1:-1, :]
-        + ddiv_x[:, 1:-1, :]))
-
-    # v-points
-    vort_v = ppm_flux(vort_abs, crx, axis=2, hord=hord)
-    dke_y = (ke_c[:, 1:, :] - ke_c[:, :-1, :]) / m.dy
-    pt_v = 0.5 * (pt_c[:, 1:, :] + pt_c[:, :-1, :])
-    pgf_y = ((phi_c[:, 1:, :] - phi_c[:, :-1, :])
-             + CP_AIR * pt_v * (pkz_c[:, 1:, :] - pkz_c[:, :-1, :])) / m.dy
-    if nonhydro:
-        rho_v = jnp.maximum(0.5 * (rho_c[:, 1:, :] + rho_c[:, :-1, :]),
-                            1.0e-8)
-        pgf_y = pgf_y + ((php_c[:, 1:, :] - php_c[:, :-1, :])
-                         + (pp_c[:, 1:, :] - pp_c[:, :-1, :]) / rho_v) / m.dy
-    damp_y = d2_bg * m.dy * m.dy / dt
-    ddiv_y = damp_y * (div_c[:, 1:, :] - div_c[:, :-1, :]) / m.dy
-
-    v_new = vpad.at[:, :, 1:-1].add(dt * (
-        -vort_v[:, :, 1:-1] * uct[:, :, 1:-1]
-        - dke_y[:, :, 1:-1]
-        - pgf_y[:, :, 1:-1]
-        + ddiv_y[:, :, 1:-1]))
+    u_new, v_new = wind_part(s, m, uct, vct, crx, cry, pt_new, pkz,
+                             phi_mid, nh_fields, dt, hord, d2_bg)
 
     return SubstepOut(
         u=u_new[isliceu],

@@ -1,0 +1,148 @@
+"""HS94 climatology gate: a Validation action that fails for PHYSICS
+reasons, not just NaN/mass (the external-truth role of the reference's
+Fortran-vs-DSL comparison, /root/reference/src/tcn/ci/pipeline/held_suarez.py:379-434).
+
+Integrates the dycore + Held-Suarez forcing through baroclinic spin-up and
+time-averages the zonal-mean zonal wind, then gates on the PUBLISHED
+Held & Suarez (1994, BAMS 75) circulation structure:
+
+  * midlatitude westerly jets aloft (HS94 Fig. 2: ~25-30 m/s near
+    sigma ~ 0.25 at |lat| ~ 45 deg at full resolution; the gate scales
+    its floor down for short/coarse CI runs),
+  * tropical near-surface easterlies (u < 0),
+  * jet cores OFF the equator (|lat| > 20 deg),
+  * equator-to-pole temperature gradient of the right sign and size.
+
+A solver with a wrong PGF sign, broken vorticity flux, or a remap that
+leaks mass between levels produces a circulation that fails these gates
+long before it produces NaNs.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..environment import Environment
+from ..exceptions import CICheckException
+from ..progress import Progress
+from ..registry import Registry
+from ..task import TaskBase
+
+
+@Registry.register
+class HSClimatology(TaskBase):
+    def run_action(self, config, env: Environment) -> None:
+        import jax.numpy as jnp
+
+        from ...core.config import ExperimentConfig
+        from ...dycore.fv_dynamics import exner_mid
+        from ...models.held_suarez import build_model
+
+        cfg: ExperimentConfig = env.config
+        dyc = cfg.dycore
+        model = build_model(dyc)
+        state = model.init(perturb=0.1)
+
+        steps_per_day = max(1, int(86400.0 / dyc.dt))
+        spinup_days = float(config.get("spinup_days", 40.0))
+        avg_days = float(config.get("avg_days", 20.0))
+        spin_steps = int(spinup_days * steps_per_day)
+        avg_steps = int(avg_days * steps_per_day)
+
+        Progress.log(f"HS climatology c{dyc.npx}-L{dyc.npz}: "
+                     f"{spinup_days}+{avg_days} days")
+        chunk = 10 * steps_per_day
+        done = 0
+        while done < spin_steps:
+            k = min(chunk, spin_steps - done)
+            state = model.run(state, k)
+            state.u.block_until_ready()
+            done += k
+
+        # latitude-binned zonal means accumulated over the window
+        lat = np.asarray(model.lats.lat_c)
+        nbins = 24
+        edges = np.linspace(-np.pi / 2, np.pi / 2, nbins + 1)
+        bin_idx = np.clip(np.digitize(lat.ravel(), edges) - 1, 0, nbins - 1)
+
+        usum = np.zeros((nbins, dyc.npz))
+        tsum = np.zeros((nbins, dyc.npz))
+        nsamp = 0
+        sample_every = max(1, steps_per_day // 4)
+        while nsamp * sample_every < avg_steps:
+            state = model.run(state, sample_every)
+            ua = np.asarray(state.ua).reshape(-1, dyc.npz)
+            tt = np.asarray(state.pt * exner_mid(state.delp, dyc.ptop)
+                            ).reshape(-1, dyc.npz)
+            for b in range(nbins):
+                sel = bin_idx == b
+                if sel.any():
+                    usum[b] += ua[sel].mean(0)
+                    tsum[b] += tt[sel].mean(0)
+            nsamp += 1
+        ubar = usum / max(nsamp, 1)
+        tbar = tsum / max(nsamp, 1)
+
+        ws = env.CI_WORKSPACE
+        os.makedirs(ws, exist_ok=True)
+        np.savez_compressed(os.path.join(ws, "hs_climatology.npz"),
+                            ubar=ubar, tbar=tbar, lat_edges=edges,
+                            nsamp=nsamp)
+        env.set("clim.ubar", ubar)
+        env.set("clim.tbar", tbar)
+        env.set("clim.edges", edges)
+
+    def check(self, config, env: Environment) -> bool:
+        ubar = env.get("clim.ubar")
+        tbar = env.get("clim.tbar")
+        edges = env.get("clim.edges")
+        if ubar is None:
+            return False
+        npz = ubar.shape[1]
+        latc = np.degrees(0.5 * (edges[:-1] + edges[1:]))
+        upper = slice(0, max(1, int(0.5 * npz)))      # sigma < ~0.5
+        surf = slice(npz - max(1, npz // 8), npz)     # lowest ~1/8
+
+        mid = (np.abs(latc) > 25) & (np.abs(latc) < 70)
+        trop = np.abs(latc) < 15
+
+        jet = float(ubar[mid][:, upper].max())
+        jet_floor = float(config.get("jet_floor_ms", 10.0))
+        if jet < jet_floor:
+            raise CICheckException(
+                f"HS94 gate: midlatitude upper westerlies {jet:.1f} m/s "
+                f"< floor {jet_floor} (published ~25-30 at full res)")
+
+        trop_u = float(ubar[trop][:, surf].mean())
+        if trop_u > 1.0:
+            raise CICheckException(
+                f"HS94 gate: tropical surface u {trop_u:.1f} m/s; "
+                "expected easterlies (< 0)")
+
+        # jet core must sit off the equator
+        jcol = ubar[:, upper].max(axis=1)
+        core_lat = float(abs(latc[int(np.argmax(jcol))]))
+        if core_lat < 20.0:
+            raise CICheckException(
+                f"HS94 gate: jet core at |lat|={core_lat:.0f} deg; "
+                "published structure has midlatitude cores")
+
+        # equator warmer than poles near the surface, by tens of K
+        pole = np.abs(latc) > 60
+        dT = float(tbar[trop][:, surf].mean() - tbar[pole][:, surf].mean())
+        if not (10.0 < dT < 120.0):
+            raise CICheckException(
+                f"HS94 gate: equator-pole surface dT {dT:.1f} K outside "
+                "(10, 120); forcing profile not being realized")
+
+        Progress.log(f"HS94 climatology gates: jet {jet:.1f} m/s @ "
+                     f"|lat|~{core_lat:.0f}, tropical surface u "
+                     f"{trop_u:.1f} m/s, dT {dT:.1f} K -> OK")
+        # archive
+        os.makedirs(env.artifact_directory, exist_ok=True)
+        src = os.path.join(env.CI_WORKSPACE, "hs_climatology.npz")
+        if os.path.exists(src):
+            import shutil
+            shutil.copy(src, env.artifact_directory)
+        return True

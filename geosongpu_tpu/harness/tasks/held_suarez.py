@@ -6,15 +6,26 @@ across nodes, then archives+mines logs; held_suarez.py:272-434).  Here the
 model is in-repo and jitted, so the task reduces to: build -> init ->
 warm-up (the reference's separate "cache build" run, held_suarez.py:297-308)
 -> timed steps -> structured benchmark record + validation gates.
+
+Action semantics (reference held_suarez.py:272-377):
+  Validation / All : one gated run at the experiment config
+  Benchmark        : backend PAIR - the jnp/XLA dycore vs the fused
+                     Pallas dycore (the reference's fortran-vs-dace pair,
+                     gtfv3_config.py:26-32) - each with a measured phase
+                     tree and energy envelope, plus a round-over-round
+                     comparison against the previous benchmark artifact.
 """
 from __future__ import annotations
 
+import dataclasses
+import glob
+import json
 import os
 import time
 
 import numpy as np
 
-from ...benchmark.timing import BenchmarkRecord, StepTimer, report
+from ...benchmark.timing import BenchmarkRecord, StepTimer, compare, report
 from ...core.config import DycoreConfig, ExperimentConfig
 from ..environment import Environment
 from ..exceptions import CICheckException
@@ -25,37 +36,27 @@ from ..task import PipelineAction, TaskBase
 
 @Registry.register
 class HeldSuarez(TaskBase):
-    def _build(self, env: Environment):
+    # ------------------------------------------------------------------
+    def _timed_run(self, env: Environment, dyc: DycoreConfig,
+                   backend_name: str, steps: int, warmup: int,
+                   with_phases: bool = False):
+        """One measured run -> (BenchmarkRecord, final state, model)."""
         import jax
 
         from ...models.held_suarez import build_model
 
-        cfg: ExperimentConfig = env.config
-        assert cfg is not None, "held_suarez experiment needs a config tree"
-        return build_model(cfg.dycore), cfg
+        model = build_model(dyc)
+        rec = BenchmarkRecord(
+            experiment=env.experiment_name,
+            backend=backend_name,
+            grid={"npx": dyc.npx, "npz": dyc.npz},
+        )
 
-    def run_action(self, config, env: Environment) -> None:
-        import jax
-
-        model, cfg = self._build(env)
-        backend = jax.default_backend()
-        ws = env.CI_WORKSPACE
-        os.makedirs(ws, exist_ok=True)
-
-        # bracket the run with the hardware sampler when enabled, like the
-        # reference's GPU wrapper (HARDWARE_SAMPLING=1,
-        # gpu-wrapper-slurm-mps.sh.tpl:8-19,60-68)
         sampler = None
         if env.get("HARDWARE_SAMPLING") in ("1", "true", "True"):
             from ...hws.server import Sampler
 
             sampler = Sampler(rate_s=0.1)
-
-        rec = BenchmarkRecord(
-            experiment=env.experiment_name,
-            backend=backend,
-            grid={"npx": cfg.dycore.npx, "npz": cfg.dycore.npz},
-        )
 
         t0 = time.perf_counter()
         state = model.init(perturb=1e-3)
@@ -64,13 +65,13 @@ class HeldSuarez(TaskBase):
 
         # warm-up = the reference's cache-build run (JIT compile here)
         t0 = time.perf_counter()
-        for _ in range(max(1, cfg.run.warmup_steps)):
+        for _ in range(max(1, warmup)):
             state = model.step_fn(state)
         state.u.block_until_ready()
         rec.compile_time_s = time.perf_counter() - t0
 
         timer = StepTimer()
-        for _ in range(cfg.run.steps):
+        for _ in range(steps):
             timer.start()
             state = model.step_fn(state)
             state.u.block_until_ready()
@@ -78,24 +79,73 @@ class HeldSuarez(TaskBase):
             if sampler is not None:
                 sampler.sample_once()
         rec.step_time_s = timer.times
-        if sampler is not None:
-            rec.extra["hws_dump"] = sampler.dump(ws)
 
-        rec.save(os.path.join(ws, f"benchmark_{env.experiment_name}.json"))
+        if sampler is not None:
+            ws = env.CI_WORKSPACE
+            dump = sampler.dump(ws)
+            rec.extra["hws_dump"] = dump
+            from ...hws.analysis import energy_envelope, load_data
+
+            er = energy_envelope(load_data(dump))
+            rec.energy = {"cpu_kwh": er.cpu_kwh, "tpu_kwh": er.tpu_kwh,
+                          "total_kwh": er.total_kwh}
+
+        if with_phases:
+            from ...benchmark.phases import measure_phases
+
+            rec.phase_tree = measure_phases(model, state, inner=10).to_dict()
+
+        return rec, state, model
+
+    # ------------------------------------------------------------------
+    def run_action(self, config, env: Environment) -> None:
+        import jax
+
+        cfg: ExperimentConfig = env.config
+        assert cfg is not None, "held_suarez experiment needs a config tree"
+        ws = env.CI_WORKSPACE
+        os.makedirs(ws, exist_ok=True)
+        action = env.experiment_action
+        hw = jax.default_backend()
+
+        if action == PipelineAction.Benchmark:
+            # backend pair: jnp/XLA dycore vs fused Pallas dycore
+            records = []
+            pairs = [("jnp", cfg.dycore),
+                     ("pallas", dataclasses.replace(cfg.dycore,
+                                                    pallas_dycore=True))]
+            for name, dyc in pairs:
+                rec, state, model = self._timed_run(
+                    env, dyc, f"{hw}:{name}", cfg.run.steps,
+                    cfg.run.warmup_steps, with_phases=True)
+                rec.save(os.path.join(
+                    ws, f"benchmark_{env.experiment_name}_{name}.json"))
+                records.append(rec)
+            env.set("hs.records", records)
+            env.set("hs.final_state", state)
+            env.set("hs.model", model)
+            env.set("hs.record", records[-1])
+        else:
+            rec, state, model = self._timed_run(
+                env, cfg.dycore, hw, cfg.run.steps, cfg.run.warmup_steps)
+            rec.save(os.path.join(ws, f"benchmark_{env.experiment_name}.json"))
+            env.set("hs.records", [rec])
+            env.set("hs.record", rec)
+            env.set("hs.final_state", state)
+            env.set("hs.model", model)
+
         np.savez_compressed(
             os.path.join(ws, f"state_{env.experiment_name}.npz"),
             u=np.asarray(state.u), v=np.asarray(state.v),
             delp=np.asarray(state.delp), pt=np.asarray(state.pt),
             ps=np.asarray(state.ps))
-        env.set("hs.record", rec)
-        env.set("hs.final_state", state)
-        env.set("hs.model", model)
 
+    # ------------------------------------------------------------------
     def check(self, config, env: Environment) -> bool:
         state = env.get("hs.final_state")
-        rec: BenchmarkRecord = env.get("hs.record")
+        records = env.get("hs.records")
         model = env.get("hs.model")
-        if state is None or rec is None:
+        if state is None or not records:
             return False
 
         # validation gates (analog of the reference's log-grep + tolerance
@@ -113,11 +163,54 @@ class HeldSuarez(TaskBase):
         if abs(mass - mass0) / mass0 > 1e-3:
             raise CICheckException(f"mass drift {abs(mass-mass0)/mass0:.2e}")
 
+        # banded-remap exactness gate on the real end state: the banded
+        # form is only exact while the Lagrangian surfaces deform by less
+        # than remap_band layers - verify that assumption every run
+        cfg = model.config
+        if cfg.remap_band > 0:
+            import jax.numpy as jnp
+
+            from ...ops.remap import remap_field, remap_field_banded
+
+            delp = jnp.asarray(state.delp)
+            pe1 = cfg.ptop + jnp.concatenate(
+                [jnp.zeros_like(delp[..., :1]),
+                 jnp.cumsum(delp, axis=-1)], axis=-1)
+            pe2 = jnp.asarray(model.ctx.ak) + jnp.asarray(
+                model.ctx.bk) * pe1[..., -1:]
+            full = remap_field(jnp.asarray(state.pt), pe1, pe2, cfg.kord)
+            band = remap_field_banded(jnp.asarray(state.pt), pe1, pe2,
+                                      cfg.kord, band=cfg.remap_band)
+            d = float(jnp.abs(full - band).max())
+            sc = float(jnp.abs(full).max())
+            if d > 1e-5 * sc:
+                raise CICheckException(
+                    f"banded remap diverged from exact by {d/sc:.2e}: "
+                    f"Lagrangian deformation exceeded remap_band="
+                    f"{cfg.remap_band}")
+
+        # round-over-round: pull the previous benchmark artifact (if any)
+        # into the comparison, like the reference's cross-run reports
+        all_records = list(records)
+        prev_dir = env.artifact_directory
+        for path in sorted(glob.glob(os.path.join(
+                prev_dir, f"benchmark_{env.experiment_name}*.json"))):
+            try:
+                prev = BenchmarkRecord.load(path)
+                prev.experiment += " (prev round)"
+                all_records.append(prev)
+            except Exception:
+                pass
+
         # archive artifacts + report
         os.makedirs(env.artifact_directory, exist_ok=True)
-        rep = report([rec])
+        rep = report(all_records)
         out = os.path.join(env.artifact_directory, "report_benchmark.out")
         with open(out, "w") as f:
             f.write(rep + "\n")
+        for rec in records:
+            rec.save(os.path.join(
+                env.artifact_directory,
+                f"benchmark_{env.experiment_name}_{rec.backend}.json"))
         Progress.log(rep)
         return True

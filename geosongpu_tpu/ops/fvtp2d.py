@@ -62,18 +62,22 @@ def fvtp2d(
     hord: int = 8,
     mfx: Optional[jnp.ndarray] = None,  # mass flux to weight fx (default xfx)
     mfy: Optional[jnp.ndarray] = None,
+    rax: Optional[jnp.ndarray] = None,  # precomputed 1/(area + ddx(xfx)):
+    ray: Optional[jnp.ndarray] = None,  # shared across fields per substep
 ) -> Fluxes2D:
     if area.ndim == 3:
         area = area[..., None]
 
     # inner advective updates (full dt, mass-consistent denominator)
     fyy = ppm_flux(qy, cry, axis=_AX_Y, hord=hord) * yfx
-    ra_y = area + ddy(yfx)
-    q_i = (qy * area + ddy(fyy)) / ra_y
+    if ray is None:
+        ray = 1.0 / (area + ddy(yfx))
+    q_i = (qy * area + ddy(fyy)) * ray
 
     fxx = ppm_flux(qx, crx, axis=_AX_X, hord=hord) * xfx
-    ra_x = area + ddx(xfx)
-    q_j = (qx * area + ddx(fxx)) / ra_x
+    if rax is None:
+        rax = 1.0 / (area + ddx(xfx))
+    q_j = (qx * area + ddx(fxx)) * rax
 
     fx = ppm_flux(q_i, crx, axis=_AX_X, hord=hord) * (xfx if mfx is None else mfx)
     fy = ppm_flux(q_j, cry, axis=_AX_Y, hord=hord) * (yfx if mfy is None else mfy)

@@ -102,6 +102,59 @@ def remap_field(q: jnp.ndarray, pe1: jnp.ndarray, pe2: jnp.ndarray,
     return target_mass / dp2
 
 
+def _shift_k(a: jnp.ndarray, d: int, fill: float) -> jnp.ndarray:
+    """a[..., l+d] along the last axis; out-of-range slots get `fill`."""
+    if d == 0:
+        return a
+    if d > 0:
+        pad = jnp.full(a.shape[:-1] + (d,), fill, a.dtype)
+        return jnp.concatenate([a[..., d:], pad], axis=-1)
+    pad = jnp.full(a.shape[:-1] + (-d,), fill, a.dtype)
+    return jnp.concatenate([pad, a[..., :d]], axis=-1)
+
+
+def remap_field_banded(q: jnp.ndarray, pe1: jnp.ndarray, pe2: jnp.ndarray,
+                       kord: int = 8, band: int = 10) -> jnp.ndarray:
+    """Banded-overlap remap: EXACT equal to remap_field whenever every
+    target layer l draws only from source layers l-band..l+band.
+
+    The full overlap form is O(K^2) elementwise flops; the dycore is
+    VPU-flop-bound so at L72 the remap costs ~72x its minimal work.  The
+    Lagrangian surfaces deform by only a few Pa per remap interval (mass
+    flux divergence ~1e-5/s x delp x dt), far less than `band` layer
+    thicknesses, so a small band is exact in practice; the HeldSuarez
+    task's check() compares banded vs full on the final state every run
+    (a physics-reasons gate on the assumption).
+
+    Requires K2 == K1 (the model remaps back to the same level count).
+    """
+    K1 = q.shape[-1]
+    assert pe2.shape[-1] == K1 + 1, "banded remap needs K2 == K1"
+    band = min(band, K1 - 1)  # band >= K is the full form
+    dp1 = pe1[..., 1:] - pe1[..., :-1]
+    aL, aR, a6 = _ppm_edges_k(q, dp1)
+    pe1_lo, pe1_hi = pe1[..., :-1], pe1[..., 1:]
+    pe2_lo, pe2_hi = pe2[..., :-1], pe2[..., 1:]
+
+    total = jnp.zeros_like(pe2_lo)
+    BIG = jnp.asarray(3e30, q.dtype)
+    for d in range(-band, band + 1):
+        fill = BIG if d > 0 else -BIG
+        lo_s = _shift_k(pe1_lo, d, fill)
+        hi_s = _shift_k(pe1_hi, d, fill)
+        dp_s = _shift_k(dp1, d, 1.0)
+        lo = jnp.maximum(lo_s, pe2_lo)
+        hi = jnp.minimum(hi_s, pe2_hi)
+        x0 = jnp.clip((lo - lo_s) / dp_s, 0.0, 1.0)
+        x1 = jnp.clip((hi - lo_s) / dp_s, 0.0, 1.0)
+        x1 = jnp.maximum(x1, x0)
+        total = total + _partial_integral(
+            _shift_k(aL, d, 0.0), _shift_k(aR, d, 0.0),
+            _shift_k(a6, d, 0.0), x0, x1) * dp_s
+    dp2 = pe2_hi - pe2_lo
+    return total / dp2
+
+
 def lagrangian_to_eulerian(delp, pt, u_cell, v_cell, q, ak, bk, ptop,
                            kord: int = 8):
     """Full remap step on cell-centered fields [..., K] (+ tracers with a

@@ -79,3 +79,51 @@ def test_monotone_no_overshoot():
     out = np.asarray(remap_field(jnp.asarray(q), jnp.asarray(pe1, jnp.float32),
                                  jnp.asarray(pe2, jnp.float32)))
     assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-6
+
+
+def test_banded_remap_matches_full():
+    """Banded overlap form is exact while deformation < band layers."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from geosongpu_tpu.ops.remap import remap_field, remap_field_banded
+
+    rng = np.random.default_rng(3)
+    K = 24
+    dp1 = rng.uniform(0.5, 1.5, (5, 7, K)).astype(np.float32)
+    pe1 = np.concatenate([np.zeros((5, 7, 1), np.float32),
+                          np.cumsum(dp1, -1)], -1)
+    # target interfaces: perturb interior interfaces by < 1 layer
+    pe2 = pe1.copy()
+    pe2[..., 1:-1] += rng.uniform(-0.4, 0.4, (5, 7, K - 1)).astype(np.float32)
+    pe2.sort(axis=-1)
+    q = rng.standard_normal((5, 7, K)).astype(np.float32) + 5.0
+
+    full = remap_field(jnp.asarray(q), jnp.asarray(pe1), jnp.asarray(pe2))
+    for band in (2, 4, 10):
+        b = remap_field_banded(jnp.asarray(q), jnp.asarray(pe1),
+                               jnp.asarray(pe2), band=band)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(full),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_banded_remap_conserves_mass():
+    import numpy as np
+    import jax.numpy as jnp
+
+    from geosongpu_tpu.ops.remap import remap_field_banded
+
+    rng = np.random.default_rng(4)
+    K = 32
+    dp1 = rng.uniform(0.5, 1.5, (4, K)).astype(np.float32)
+    pe1 = np.concatenate([np.zeros((4, 1), np.float32),
+                          np.cumsum(dp1, -1)], -1)
+    pe2 = pe1.copy()
+    pe2[..., 1:-1] += rng.uniform(-0.3, 0.3, (4, K - 1)).astype(np.float32)
+    pe2.sort(axis=-1)
+    q = rng.standard_normal((4, K)).astype(np.float32) + 3.0
+    out = np.asarray(remap_field_banded(
+        jnp.asarray(q), jnp.asarray(pe1), jnp.asarray(pe2), band=6))
+    m1 = (q * dp1).sum(-1)
+    m2 = (out * (pe2[..., 1:] - pe2[..., :-1])).sum(-1)
+    np.testing.assert_allclose(m2, m1, rtol=1e-5)
