@@ -32,11 +32,18 @@ def main() -> int:
     except Exception:
         pass
 
+    # L72 is the reference's standard level count (BASELINE.md ladder);
+    # the round-1 anchor was recorded at L32 - gridpoints/s normalizes
     npx = int(os.environ.get("BENCH_NPX", "48"))
-    npz = int(os.environ.get("BENCH_NPZ", "32"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    npz = int(os.environ.get("BENCH_NPZ", "72"))
+    steps = int(os.environ.get("BENCH_STEPS", "20"))
+    # fused Pallas dycore kernels on TPU (auto-interprets elsewhere);
+    # gated against the jnp path in tests/test_pallas_dycore.py
+    pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
 
-    cfg = DycoreConfig(npx=npx, npz=npz, dt=600.0, n_split=6)
+    cfg = DycoreConfig(npx=npx, npz=npz, dt=600.0, n_split=6,
+                       pallas_dycore=pallas and
+                       jax.default_backend() == "tpu")
     model = build_model(cfg)
     state = model.init(perturb=1e-3)
 

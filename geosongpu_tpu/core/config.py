@@ -43,15 +43,16 @@ class DycoreConfig:
                                  # same math, VMEM-fused scheduling
     pallas_kt: int = 0           # vertical tile for the dycore kernels
                                  # (0 = whole column per block)
-    remap_band: int = 0   # banded vertical remap half-width in layers
-                          # (0 = the full O(K^2) overlap form).  The banded
-                          # form is exact while Lagrangian deformation
-                          # stays within the band (gated in HS check()),
-                          # but in jnp/XLA its 2*band+1 shifted copies
-                          # MATERIALIZE and lose to the fused O(K^2)
-                          # broadcast-reduce on TPU (measured 32->41 ms at
-                          # c48-L72); keep 0 until the remap runs as a
-                          # Pallas kernel with VMEM-resident shifts
+    remap_band: int = 10  # banded vertical remap half-width in layers.
+                          # On TPU this selects the fused Pallas kernel
+                          # (ops/pallas/remap.py): exact while Lagrangian
+                          # deformation stays within the band (gated every
+                          # run in the HS task check), O(K*band) work.
+                          # Off-TPU the full O(K^2) overlap form is used
+                          # regardless (the jnp banded form materializes
+                          # its shifted copies and is slower than full),
+                          # so CPU goldens/tests are band-independent.
+                          # 0 = full form everywhere.
     vertical: str = "hybrid"  # "sigma" | "hybrid"
     dtype: str = "float32"  # reference runs PACE_FLOAT_PRECISION=32
                             # (/root/reference/src/tcn/ci/pipeline/gtfv3_config.py:11)

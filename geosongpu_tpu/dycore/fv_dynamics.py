@@ -25,6 +25,7 @@ from ..core.config import DycoreConfig
 from ..core.grid import Grid, KAPPA
 from ..core.state import DycoreState
 from ..ops.remap import remap_field, remap_field_banded
+from ..ops.vertical import cumsum_k, interfaces_from_delp
 from ..parallel.halo import HaloOps, build_halo_ops
 from .sw import PaddedMetrics, d_sw_substep, fill_substep, padded_metrics
 
@@ -51,10 +52,19 @@ def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
 
 
 def _make_remap(cfg: DycoreConfig):
-    """Pick the remap kernel: banded (exact within cfg.remap_band layers
-    of deformation, O(K*band)) or the full O(K^2) overlap form."""
-    if cfg.remap_band > 0:
-        return lambda q, pe1, pe2: remap_field_banded(
+    """Pick the remap kernel.
+
+    On TPU with remap_band > 0: the fused Pallas banded kernel (exact
+    within cfg.remap_band layers of deformation - gated against the full
+    form in the HeldSuarez check - and O(K*band) instead of O(K^2)).
+    Everywhere else: the full overlap form (the jnp banded form
+    MATERIALIZES its shifted copies and is slower than full on TPU)."""
+    import jax
+
+    if cfg.remap_band > 0 and jax.default_backend() == "tpu":
+        from ..ops.pallas.remap import remap_field_banded_pallas
+
+        return lambda q, pe1, pe2: remap_field_banded_pallas(
             q, pe1, pe2, cfg.kord, band=cfg.remap_band)
     return lambda q, pe1, pe2: remap_field(q, pe1, pe2, cfg.kord)
 
@@ -65,17 +75,13 @@ def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, n, rm):
     # face-boundary interfaces (uses one halo row)
     dpu = 0.5 * (delp_padded[:, h - 1:h + n, h:h + n] +
                  delp_padded[:, h:h + n + 1, h:h + n])  # [6, n+1, n, K]
-    pe1u = jnp.concatenate(
-        [jnp.zeros_like(dpu[..., :1]), jnp.cumsum(dpu, axis=-1)], axis=-1)
-    pe1u = pe1u + ptop
+    pe1u = interfaces_from_delp(dpu, ptop)
     pe2u = ak + bk * pe1u[..., -1:]
     u_new = rm(u, pe1u, pe2u)
 
     dpv = 0.5 * (delp_padded[:, h:h + n, h - 1:h + n] +
                  delp_padded[:, h:h + n, h:h + n + 1])  # [6, n, n+1, K]
-    pe1v = jnp.concatenate(
-        [jnp.zeros_like(dpv[..., :1]), jnp.cumsum(dpv, axis=-1)], axis=-1)
-    pe1v = pe1v + ptop
+    pe1v = interfaces_from_delp(dpv, ptop)
     pe2v = ak + bk * pe1v[..., -1:]
     v_new = rm(v, pe1v, pe2v)
     return u_new, v_new
@@ -205,9 +211,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
                 q, delp0, tacc, ops, m, cfg.hord, cfg.q_split)
 
         # ---- vertical remap back to the reference hybrid coordinate ----
-        pe1 = cfg.ptop + jnp.concatenate(
-            [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)],
-            axis=-1)
+        pe1 = interfaces_from_delp(delp, cfg.ptop)
         ps = pe1[..., -1]
         pe2 = ctx.ak + ctx.bk * ps[..., None]
         delp_new = pe2[..., 1:] - pe2[..., :-1]
@@ -235,8 +239,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     delz_out = delz if nonhydro else state.delz
 
     # ---- diagnostics ----------------------------------------------------
-    pe = cfg.ptop + jnp.concatenate(
-        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pe = interfaces_from_delp(delp, cfg.ptop)
     ps = pe[..., -1]
     ua = 0.5 * (u[:, :-1, :] + u[:, 1:, :])
     va = 0.5 * (v[:, :, :-1] + v[:, :, 1:])
@@ -248,7 +251,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     conv = (((mfx_acc[:, :, :-1] - mfx_acc[:, :, 1:])
              + (mfy_acc[:, :-1, :] - mfy_acc[:, 1:, :]))
             * m.rarea[:, hs:hs + n, hs:hs + n] / cfg.dt)
-    cum = jnp.cumsum(conv, axis=-1)
+    cum = cumsum_k(conv)
     omga = cum - 0.5 * conv
 
     return DycoreState(
@@ -263,8 +266,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
 
 def exner_mid(delp: jnp.ndarray, ptop: float) -> jnp.ndarray:
     """Layer-mean Exner function pkz (T = pt * pkz)."""
-    pe = ptop + jnp.concatenate(
-        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pe = interfaces_from_delp(delp, ptop)
     pk = (pe / 1.0e5) ** KAPPA
     peln = jnp.log(pe)
     return (pk[..., 1:] - pk[..., :-1]) / (

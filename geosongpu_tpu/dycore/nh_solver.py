@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.grid import GRAV, RDGAS, KAPPA
+from ..ops.vertical import interfaces_from_delp
 
 GAMMA = 1.0 / (1.0 - KAPPA)  # cp/cv
 
@@ -71,8 +72,7 @@ def _thomas(a, b, c, d):
 def full_pressure(delp, delz, pt, ptop):
     """Gas-law pressure per layer from mass, thickness, and temperature
     (T = pt * pkz with pkz from the hydrostatic pe - adequate lineariz.)."""
-    pe = ptop + jnp.concatenate(
-        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pe = interfaces_from_delp(delp, ptop)
     pk = (pe / 1.0e5) ** KAPPA
     peln = jnp.log(pe)
     pkz = (pk[..., 1:] - pk[..., :-1]) / (KAPPA * (peln[..., 1:] - peln[..., :-1]))
@@ -139,8 +139,7 @@ def vertical_acoustic_solve(w, delz, pt, delp, dt: float, ptop: float,
 def hydrostatic_delz(delp, pt, ptop):
     """The delz profile in exact discrete hydrostatic balance (p' == 0):
     rho R T = p_mid  =>  delz = delp R T / (g p_mid)."""
-    pe = ptop + jnp.concatenate(
-        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pe = interfaces_from_delp(delp, ptop)
     pk = (pe / 1.0e5) ** KAPPA
     peln = jnp.log(pe)
     pkz = (pk[..., 1:] - pk[..., :-1]) / (KAPPA * (peln[..., 1:] - peln[..., :-1]))

@@ -42,6 +42,7 @@ from ..core.grid import CP_AIR, GRAV, KAPPA, RDGAS, Grid
 from ..ops.fvtp2d import ddx, ddy, fvtp2d
 from ..ops.ppm import ppm_flux, upwind_flux
 from ..parallel.halo import HaloOps
+from ..ops.vertical import interfaces_from_delp, rcumsum_k
 
 P00 = 1.0e5
 
@@ -183,14 +184,13 @@ def _vorticity_abs(pu, pv, m: PaddedMetrics):
 
 def _hydrostatic_fields(delp, pt, ptop):
     """pe -> Exner pkz and layer-mid geopotential (flat terrain)."""
-    pe = ptop + jnp.concatenate(
-        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    pe = interfaces_from_delp(delp, ptop)
     pk_iface = (pe / P00) ** KAPPA
     peln = jnp.log(pe)
     pkz = (pk_iface[..., 1:] - pk_iface[..., :-1]) / (
         KAPPA * (peln[..., 1:] - peln[..., :-1]))
     dphi = CP_AIR * pt * (pk_iface[..., 1:] - pk_iface[..., :-1])
-    phi_below_incl = jnp.cumsum(dphi[..., ::-1], axis=-1)[..., ::-1]
+    phi_below_incl = rcumsum_k(dphi)
     phi_mid = phi_below_incl - 0.5 * dphi
     return pkz, phi_mid
 
@@ -359,9 +359,7 @@ def nh_perturbation_fields(delp_new, pt_new, delz_new, ptop: float):
     cp*theta*dpk form differs by the log-mean vs arithmetic-mean
     pressure and injects a spurious O((dlnp)^2) force on coarse
     vertical grids."""
-    pe1 = ptop + jnp.concatenate(
-        [jnp.zeros_like(delp_new[..., :1]),
-         jnp.cumsum(delp_new, axis=-1)], axis=-1)
+    pe1 = interfaces_from_delp(delp_new, ptop)
     pk1 = (pe1 / P00) ** KAPPA
     peln1 = jnp.log(pe1)
     pkz1 = (pk1[..., 1:] - pk1[..., :-1]) / (
@@ -371,7 +369,7 @@ def nh_perturbation_fields(delp_new, pt_new, delz_new, ptop: float):
     rho1 = delp_new / (GRAV * jnp.maximum(delz_new, 1.0))
     pprime = rho1 * RDGAS * t1 - p_mid1
     dphi_diff = GRAV * delz_new - RDGAS * t1 * delp_new / p_mid1
-    phip_incl = jnp.cumsum(dphi_diff[..., ::-1], axis=-1)[..., ::-1]
+    phip_incl = rcumsum_k(dphi_diff)
     phiprime = phip_incl - 0.5 * dphi_diff
     return pprime, phiprime, rho1
 

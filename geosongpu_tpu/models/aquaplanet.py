@@ -23,6 +23,8 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.vertical import interfaces_from_delp
 import numpy as np
 
 from ..core.config import DycoreConfig
@@ -60,9 +62,7 @@ class AquaplanetModel:
         # moist init: 80% RH below sigma=0.8, dry aloft
         pkz = exner_mid(state.delp, self.config.ptop)
         t = state.pt * pkz
-        pe = self.config.ptop + jnp.concatenate(
-            [jnp.zeros_like(state.delp[..., :1]),
-             jnp.cumsum(state.delp, axis=-1)], axis=-1)
+        pe = self.config.ptop + interfaces_from_delp(state.delp, 0.0)
         p_mid = 0.5 * (pe[..., 1:] + pe[..., :-1])
         sigma = p_mid / pe[..., -1:]
         qv0 = jnp.where(sigma > 0.5, 0.6 * qsat(t, p_mid), 1e-6)
@@ -105,9 +105,7 @@ def build_model(config: DycoreConfig) -> AquaplanetModel:
     def physics(state: DycoreState) -> DycoreState:
         pkz = exner_mid(state.delp, config.ptop)
         t = state.pt * pkz
-        pe = config.ptop + jnp.concatenate(
-            [jnp.zeros_like(state.delp[..., :1]),
-             jnp.cumsum(state.delp, axis=-1)], axis=-1)
+        pe = config.ptop + interfaces_from_delp(state.delp, 0.0)
         p_mid = 0.5 * (pe[..., 1:] + pe[..., :-1])
         # clean advection undershoots conservatively before physics
         qv = K.fill_q2_zero(state.q[..., 0], state.delp)

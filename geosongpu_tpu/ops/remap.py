@@ -165,9 +165,9 @@ def lagrangian_to_eulerian(delp, pt, u_cell, v_cell, q, ak, bk, ptop,
 
     Returns (delp_new, pt_new, u_new, v_new, q_new, ps, pe2).
     """
-    pe1 = ptop + jnp.concatenate(
-        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1
-    )
+    from .vertical import interfaces_from_delp
+
+    pe1 = interfaces_from_delp(delp, ptop)
     ps = pe1[..., -1]
     pe2 = ak + bk * ps[..., None]
     delp_new = pe2[..., 1:] - pe2[..., :-1]

@@ -77,8 +77,9 @@ def held_suarez_forcing(u, v, pt, delp, lats: HSLatitudes, ptop: float,
     none) keeps upper-level gravity-wave noise bounded in long runs.
 
     Returns (u', v', pt')."""
-    pe = ptop + jnp.concatenate(
-        [jnp.zeros_like(delp[..., :1]), jnp.cumsum(delp, axis=-1)], axis=-1)
+    from ..ops.vertical import interfaces_from_delp
+
+    pe = interfaces_from_delp(delp, ptop)
     p_mid = 0.5 * (pe[..., 1:] + pe[..., :-1])
     ps = pe[..., -1:]
     sigma = p_mid / ps
