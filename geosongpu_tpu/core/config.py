@@ -56,6 +56,14 @@ class DycoreConfig:
     vertical: str = "hybrid"  # "sigma" | "hybrid"
     dtype: str = "float32"  # reference runs PACE_FLOAT_PRECISION=32
                             # (/root/reference/src/tcn/ci/pipeline/gtfv3_config.py:11)
+    overlap_fills: bool = False  # pipeline scalar halo exchanges across
+                                 # acoustic substeps: substep i+1's
+                                 # delp/pt/w/delz fills are issued right
+                                 # after substep i's transport, dataflow-
+                                 # independent of its wind update, so
+                                 # XLA's latency-hiding scheduler overlaps
+                                 # the ppermutes with compute (identical
+                                 # numerics; used by the sharded paths)
 
     @property
     def grid_points(self) -> int:

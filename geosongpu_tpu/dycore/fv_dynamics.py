@@ -27,7 +27,8 @@ from ..core.state import DycoreState
 from ..ops.remap import remap_field, remap_field_banded
 from ..ops.vertical import cumsum_k, interfaces_from_delp
 from ..parallel.halo import HaloOps, build_halo_ops
-from .sw import PaddedMetrics, d_sw_substep, fill_substep, padded_metrics
+from .sw import (PaddedMetrics, SWState, d_sw_substep, fill_substep,
+                 padded_metrics)
 
 
 class DycoreContext(NamedTuple):
@@ -69,18 +70,18 @@ def _make_remap(cfg: DycoreConfig):
     return lambda q, pe1, pe2: remap_field(q, pe1, pe2, cfg.kord)
 
 
-def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, n, rm):
+def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, ny, nx, rm):
     """Remap D-grid winds on their own staggered columns."""
     # delp at u-points (average across the y-interface), interior + the
     # face-boundary interfaces (uses one halo row)
-    dpu = 0.5 * (delp_padded[:, h - 1:h + n, h:h + n] +
-                 delp_padded[:, h:h + n + 1, h:h + n])  # [6, n+1, n, K]
+    dpu = 0.5 * (delp_padded[:, h - 1:h + ny, h:h + nx] +
+                 delp_padded[:, h:h + ny + 1, h:h + nx])  # [6, ny+1, nx, K]
     pe1u = interfaces_from_delp(dpu, ptop)
     pe2u = ak + bk * pe1u[..., -1:]
     u_new = rm(u, pe1u, pe2u)
 
-    dpv = 0.5 * (delp_padded[:, h:h + n, h - 1:h + n] +
-                 delp_padded[:, h:h + n, h:h + n + 1])  # [6, n, n+1, K]
+    dpv = 0.5 * (delp_padded[:, h:h + ny, h - 1:h + nx] +
+                 delp_padded[:, h:h + ny, h:h + nx + 1])  # [6, ny, nx+1, K]
     pe1v = interfaces_from_delp(dpv, ptop)
     pe2v = ak + bk * pe1v[..., -1:]
     v_new = rm(v, pe1v, pe2v)
@@ -95,8 +96,8 @@ def _advect_tracers_accumulated(q, delp0, tacc, ops, m, hord, q_split):
     from ..ops.fvtp2d import ddx, ddy, fvtp2d
 
     crx, cry, xfx, yfx, mfx, mfy = (a / q_split for a in tacc)
-    h, n = ops.h, ops.n
-    islice = (slice(None), slice(h, h + n), slice(h, h + n))
+    h, ny, nx = ops.h, ops.ny, ops.nx
+    islice = (slice(None), slice(h, h + ny), slice(h, h + nx))
     delp = delp0
     for _ in range(q_split):
         pd_x = ops.fill(delp, "x")
@@ -118,7 +119,9 @@ def _advect_tracers_accumulated(q, delp0, tacc, ops, m, hord, q_split):
 def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     cfg = ctx.config
     ops, m = ctx.ops, ctx.metrics
-    h, n = cfg.halo, cfg.npx
+    # block extents come from the filler (== cfg.npx single-device; the
+    # per-device rectangle under subtile sharding, parallel/subtile.py)
+    h, ny, nx = cfg.halo, ops.ny, ops.nx
     dt_acoustic = cfg.dt / (cfg.k_split * cfg.n_split)
 
     u, v = state.u, state.v
@@ -154,12 +157,43 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers)
 
+    zf = jnp.zeros((), jnp.float32)
+
+    def scalar_fills(delp_, pt_, q_, w_, delz_):
+        """Padded scalar fields for ONE substep (overlap-pipelined mode):
+        issued as soon as their producers (the transport stage) are done,
+        dataflow-independent of the wind update, so on a sharded mesh the
+        ppermute exchanges overlap with wind_part compute under XLA's
+        latency-hiding scheduler."""
+        return (
+            ops.fill(delp_, "x"), ops.fill(delp_, "y"),
+            ops.fill(pt_, "x"), ops.fill(pt_, "y"),
+            ops.fill(q_, "x") if substep_tracers else zf,
+            ops.fill(q_, "y") if substep_tracers else zf,
+            ops.fill(w_, "x") if nonhydro else zf,
+            ops.fill(w_, "y") if nonhydro else zf,
+            ops.fill(delz_, "x") if nonhydro else zf,
+            ops.fill(delz_, "y") if nonhydro else zf,
+        )
+
     def substep(carry, _):
-        u, v, delp, pt, q, w, delz, mfx_acc, mfy_acc, tacc = carry
-        s = fill_substep(ops, u, v, delp, pt,
-                         q if substep_tracers else None,
-                         w=w if nonhydro else None,
-                         delz=delz if nonhydro else None)
+        u, v, delp, pt, q, w, delz, mfx_acc, mfy_acc, tacc, pads = carry
+        if cfg.overlap_fills:
+            pu, pv = ops.fill_dgrid(u, v)
+            s = SWState(
+                pu=pu, pv=pv,
+                pd_x=pads[0], pd_y=pads[1], pt_x=pads[2], pt_y=pads[3],
+                pq_x=pads[4] if substep_tracers else None,
+                pq_y=pads[5] if substep_tracers else None,
+                pw_x=pads[6] if nonhydro else None,
+                pw_y=pads[7] if nonhydro else None,
+                pz_x=pads[8] if nonhydro else None,
+                pz_y=pads[9] if nonhydro else None)
+        else:
+            s = fill_substep(ops, u, v, delp, pt,
+                             q if substep_tracers else None,
+                             w=w if nonhydro else None,
+                             delz=delz if nonhydro else None)
         out = substep_fn(s)
         if nonhydro:
             # the implicit vertical acoustic solve runs inside
@@ -168,38 +202,44 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             w2, delz2 = out.w, out.delz
         else:
             w2, delz2 = w, delz
+        q2 = out.q if substep_tracers else q
         tacc2 = tuple(
             a + b for a, b in zip(tacc, (out.crx_pad, out.cry_pad,
                                          out.xfx_pad, out.yfx_pad,
                                          out.mfx_pad, out.mfy_pad)))
-        return (out.u, out.v, out.delp, out.pt,
-                out.q if substep_tracers else q,
+        pads2 = scalar_fills(out.delp, out.pt, q2, w2, delz2) \
+            if cfg.overlap_fills else pads
+        return (out.u, out.v, out.delp, out.pt, q2,
                 w2, delz2,
                 mfx_acc + out.mfx, mfy_acc + out.mfy,
-                tacc2), (out.uc, out.vc)
+                tacc2, pads2), (out.uc, out.vc)
 
-    N = n + 2 * cfg.halo
+    Ny = ny + 2 * cfg.halo
+    Nx = nx + 2 * cfg.halo
     K = cfg.npz
     F = delp.shape[0]  # 6 faces, or 1 inside a face-sharded shard_map
 
     def zero_tacc():
-        zx = ops.zeros((F, N, N + 1, K))
-        zy = ops.zeros((F, N + 1, N, K))
+        zx = ops.zeros((F, Ny, Nx + 1, K))
+        zy = ops.zeros((F, Ny + 1, Nx, K))
         return (zx, zy, zx, zy, zx, zy)
 
     for _ks in range(cfg.k_split):
         delp0 = delp  # tracer-interval start mass
         # scan over acoustic substeps: one compiled body instead of an
         # n_split-times unrolled HLO (compile time matters on the tunnel)
-        zf = jnp.zeros((), jnp.float32)
+        pads0 = scalar_fills(delp, pt, q if has_q else zf,
+                             w if nonhydro else zf,
+                             delz if nonhydro else zf) \
+            if cfg.overlap_fills else (zf,) * 10
         carry = (u, v, delp, pt,
                  q if has_q else zf,
                  w if nonhydro else zf,
                  delz if nonhydro else zf,
-                 mfx_acc, mfy_acc, zero_tacc())
+                 mfx_acc, mfy_acc, zero_tacc(), pads0)
         carry, (ucs, vcs) = jax.lax.scan(substep, carry, None,
                                          length=cfg.n_split)
-        u, v, delp, pt, qq, ww, zz, mfx_acc, mfy_acc, tacc = carry
+        u, v, delp, pt, qq, ww, zz, mfx_acc, mfy_acc, tacc, pads = carry
         if substep_tracers:
             q = qq
         if nonhydro:
@@ -228,8 +268,11 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             # height is conserved through the remap
             w = rm(w, pe1, pe2)
             delz = rm(delz / jnp.maximum(delp, 1e-3), pe1, pe2) * delp_new
-        dpad = ops.fill(delp, "x")
-        u, v = _remap_winds(u, v, dpad, ctx.ak, ctx.bk, cfg.ptop, h, n, rm)
+        # in overlap mode the final substep's carried pd_x fill IS
+        # fill(delp, "x") - reuse it instead of re-exchanging
+        dpad = pads[0] if cfg.overlap_fills else ops.fill(delp, "x")
+        u, v = _remap_winds(u, v, dpad, ctx.ak, ctx.bk, cfg.ptop, h, ny, nx,
+                            rm)
         delp = delp_new
 
     # w/delz are prognosed in NH mode (advected in d_sw, implicit vertical
@@ -250,7 +293,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     hs = cfg.halo
     conv = (((mfx_acc[:, :, :-1] - mfx_acc[:, :, 1:])
              + (mfy_acc[:, :-1, :] - mfy_acc[:, 1:, :]))
-            * m.rarea[:, hs:hs + n, hs:hs + n] / cfg.dt)
+            * m.rarea[:, hs:hs + ny, hs:hs + nx] / cfg.dt)
     cum = cumsum_k(conv)
     omga = cum - 0.5 * conv
 

@@ -39,6 +39,8 @@ class ShardedFiller:
 
     def __init__(self, n: int, h: int, axis_name: str = "face"):
         self.n = n
+        self.ny = n
+        self.nx = n
         self.h = h
         self.axis_name = axis_name
         self._plan = build_plan(n, h)

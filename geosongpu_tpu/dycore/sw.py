@@ -475,10 +475,10 @@ def d_sw_substep(
     advect_tracers: bool = True,
 ) -> SubstepOut:
     """One forward-backward acoustic substep on padded fields."""
-    h, n = ops.h, ops.n
-    islice = (slice(None), slice(h, h + n), slice(h, h + n))
-    isliceu = (slice(None), slice(h, h + n + 1), slice(h, h + n))
-    islicev = (slice(None), slice(h, h + n), slice(h, h + n + 1))
+    h, ny, nx = ops.h, ops.ny, ops.nx
+    islice = (slice(None), slice(h, h + ny), slice(h, h + nx))
+    isliceu = (slice(None), slice(h, h + ny + 1), slice(h, h + nx))
+    islicev = (slice(None), slice(h, h + ny), slice(h, h + nx + 1))
 
     # ---- time-centered advective winds ---------------------------------
     uct, vct = c_sw(s, m, 0.5 * dt, ptop)
@@ -532,10 +532,10 @@ def d_sw_substep(
         q=None if q_new is None else q_new[islice],
         w=None if w_new is None else w_new[islice],
         delz=None if delz_new is None else delz_new[islice],
-        mfx=mf.fx[:, h:h + n, h:h + n + 1],
-        mfy=mf.fy[:, h:h + n + 1, h:h + n],
-        uc=uct[:, h:h + n, h:h + n + 1],
-        vc=vct[:, h:h + n + 1, h:h + n],
+        mfx=mf.fx[:, h:h + ny, h:h + nx + 1],
+        mfy=mf.fy[:, h:h + ny + 1, h:h + nx],
+        uc=uct[:, h:h + ny, h:h + nx + 1],
+        vc=vct[:, h:h + ny + 1, h:h + nx],
         crx_pad=crx,
         cry_pad=cry,
         xfx_pad=xfx,

@@ -450,6 +450,17 @@ class HaloOps:
         puc = puc * self.v_sgn_n.reshape(self.v_sgn_n.shape + extra).astype(uc.dtype)
         return puc, pvc
 
+    @property
+    def ny(self) -> int:
+        """Rows of the local (face) block; == n for whole-face fills.
+        Subtile fillers (parallel/subtile.py) override with the block
+        height so the dycore slicing generalizes to rectangular blocks."""
+        return self.n
+
+    @property
+    def nx(self) -> int:
+        return self.n
+
     def interior(self, padded: jax.Array) -> jax.Array:
         """Strip the halo of a padded cell-centered array."""
         h, n = self.h, self.n

@@ -1,0 +1,216 @@
+"""Subtile (NX x NY per face) ppermute halo exchange + sharded step.
+
+The ICI-native analog of the reference's per-face MPI rank layouts
+(/root/reference/src/tcn/ci/pipeline/held_suarez.py:142-218): every fill
+and the full model step must match the verified single-device path on a
+virtual CPU mesh (SURVEY.md SS4 lesson - multi-node correctness testable
+without the cluster).
+
+8-device faces-local (2 x 4, non-square blocks) runs in-process on the
+conftest mesh; the 24-device face-sharded (6, 2, 2) layout runs in a
+subprocess with its own virtual device count.
+"""
+import dataclasses
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from geosongpu_tpu.core.config import DycoreConfig
+from geosongpu_tpu.parallel.halo import build_halo_ops
+from geosongpu_tpu.parallel.subtile import (DEV_AXIS, SubtileFiller,
+                                            SubtileLayout,
+                                            build_subtile_plan,
+                                            build_subtile_step,
+                                            stack_blocks, subtile_mesh,
+                                            unstack_blocks)
+
+N, H = 8, 3
+LAY = SubtileLayout(n=N, h=H, py=2, px=4, face_sharded=False)
+
+
+def _blocks_of(lay, padded, ry, rx):
+    """Per-device slices of a global padded array (ry/rx: staggering)."""
+    h = lay.h
+    out = []
+    for d in range(lay.ndevices):
+        _, by, bx = lay.dev_coords(d)
+        out.append(np.asarray(padded)[
+            :, by * lay.bny:by * lay.bny + lay.bny + ry + 2 * h,
+            bx * lay.bnx:bx * lay.bnx + lay.bnx + rx + 2 * h])
+    return np.stack(out)
+
+
+@pytest.fixture(scope="module")
+def plan():
+    return build_subtile_plan(N, H, LAY.py, LAY.px, LAY.face_sharded)
+
+
+def test_plan_shape(plan):
+    assert plan.scalar.rounds, "cross-device messages expected"
+    # every round is a partial permutation
+    for r in plan.scalar.rounds + plan.stag.rounds:
+        srcs = [s for s, _ in r.perm]
+        dsts = [d for _, d in r.perm]
+        assert len(set(srcs)) == len(srcs)
+        assert len(set(dsts)) == len(dsts)
+
+
+def test_scalar_fill_matches_single_device(plan):
+    ops = build_halo_ops(N, H)
+    rng = np.random.RandomState(0)
+    f = jnp.asarray(rng.randn(6, N, N, 3).astype(np.float32))
+    mesh = subtile_mesh(LAY)
+    st = jnp.asarray(stack_blocks(LAY, np.asarray(f)))
+
+    def local_fill(blk):
+        filler = SubtileFiller(plan)
+        return (filler.fill(blk[0], "x")[None],
+                filler.fill(blk[0], "y")[None])
+
+    sm = jax.jit(jax.shard_map(local_fill, mesh=mesh,
+                               in_specs=(P(DEV_AXIS),),
+                               out_specs=(P(DEV_AXIS),) * 2))
+    opx, opy = sm(st)
+    np.testing.assert_array_equal(
+        np.asarray(opx), _blocks_of(LAY, ops.fill(f, "x"), 0, 0))
+    np.testing.assert_array_equal(
+        np.asarray(opy), _blocks_of(LAY, ops.fill(f, "y"), 0, 0))
+
+
+def test_staggered_fills_match_single_device(plan):
+    ops = build_halo_ops(N, H)
+    rng = np.random.RandomState(1)
+    u = jnp.asarray(rng.randn(6, N + 1, N, 2).astype(np.float32))
+    v = jnp.asarray(rng.randn(6, N, N + 1, 2).astype(np.float32))
+    mesh = subtile_mesh(LAY)
+    su = jnp.asarray(stack_blocks(LAY, np.asarray(u)))
+    sv = jnp.asarray(stack_blocks(LAY, np.asarray(v)))
+
+    def local_fill(bu, bv):
+        filler = SubtileFiller(plan)
+        pu, pv = filler.fill_dgrid(bu[0], bv[0])
+        puc, pvc = filler.fill_cgrid(bv[0], bu[0])
+        return pu[None], pv[None], puc[None], pvc[None]
+
+    sm = jax.jit(jax.shard_map(local_fill, mesh=mesh,
+                               in_specs=(P(DEV_AXIS),) * 2,
+                               out_specs=(P(DEV_AXIS),) * 4))
+    opu, opv, opuc, opvc = sm(su, sv)
+    pu_ref, pv_ref = ops.fill_dgrid(u, v)
+    puc_ref, pvc_ref = ops.fill_cgrid(v, u)
+    np.testing.assert_array_equal(np.asarray(opu),
+                                  _blocks_of(LAY, pu_ref, 1, 0))
+    np.testing.assert_array_equal(np.asarray(opv),
+                                  _blocks_of(LAY, pv_ref, 0, 1))
+    np.testing.assert_array_equal(np.asarray(opuc),
+                                  _blocks_of(LAY, puc_ref, 0, 1))
+    np.testing.assert_array_equal(np.asarray(opvc),
+                                  _blocks_of(LAY, pvc_ref, 1, 0))
+
+
+def test_stack_unstack_roundtrip():
+    rng = np.random.RandomState(2)
+    for sy, sx in ((N, N), (N + 1, N), (N, N + 1)):
+        a = rng.randn(6, sy, sx, 2).astype(np.float32)
+        st = stack_blocks(LAY, a)
+        back = unstack_blocks(LAY, st, sy, sx)
+        np.testing.assert_array_equal(a, back)
+
+
+def _model_pieces(cfg):
+    from geosongpu_tpu.models.held_suarez import build_model
+    from geosongpu_tpu.physics.held_suarez import held_suarez_forcing
+
+    model = build_model(cfg)
+
+    def forcing(s, lats_l):
+        u, v, pt = held_suarez_forcing(s.u, s.v, s.pt, s.delp, lats_l,
+                                       cfg.ptop, cfg.dt)
+        return dataclasses.replace(s, u=u, v=v, pt=pt)
+
+    return model, forcing
+
+
+def test_sharded_step_matches_single_device():
+    cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H)
+    model, forcing = _model_pieces(cfg)
+    state = model.init(perturb=1e-3)
+    ref = model.step_fn(model.step_fn(state))
+
+    step, place, unplace = build_subtile_step(
+        model.ctx, LAY, lats=model.lats, forcing=forcing)
+    out = unplace(step(step(place(state))), N)
+    for name in ("u", "v", "delp", "pt", "ps", "omga"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        # mass fields are bit-exact; winds may differ by XLA reassociation
+        assert np.abs(a - b).max() / scale < 1e-5, name
+
+
+def test_nonhydrostatic_sharded_step():
+    cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H,
+                       hydrostatic=False)
+    model, forcing = _model_pieces(cfg)
+    state = model.init(perturb=1e-3)
+    ref = model.step_fn(state)
+    step, place, unplace = build_subtile_step(
+        model.ctx, LAY, lats=model.lats, forcing=forcing)
+    out = unplace(step(place(state)), N)
+    for name in ("u", "v", "delp", "pt", "w", "delz"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-5, name
+
+
+_SUBPROC_24 = """
+import dataclasses
+import numpy as np
+from geosongpu_tpu.core.config import DycoreConfig
+from geosongpu_tpu.models.held_suarez import build_model
+from geosongpu_tpu.parallel.subtile import SubtileLayout, build_subtile_step
+from geosongpu_tpu.physics.held_suarez import held_suarez_forcing
+
+cfg = DycoreConfig(npx=8, npz=6, dt=600.0, n_split=2, halo=3)
+model = build_model(cfg)
+state = model.init(perturb=1e-3)
+ref = model.step_fn(state)
+lay = SubtileLayout(n=8, h=3, py=2, px=2, face_sharded=True)
+
+def forcing(s, lats_l):
+    u, v, pt = held_suarez_forcing(s.u, s.v, s.pt, s.delp, lats_l,
+                                   cfg.ptop, cfg.dt)
+    return dataclasses.replace(s, u=u, v=v, pt=pt)
+
+step, place, unplace = build_subtile_step(model.ctx, lay, lats=model.lats,
+                                          forcing=forcing)
+out = unplace(step(place(state)), 8)
+for name in ("u", "v", "delp", "pt"):
+    a = np.asarray(getattr(out, name))
+    b = np.asarray(getattr(ref, name))
+    scale = max(float(np.abs(b).max()), 1e-30)
+    assert np.abs(a - b).max() / scale < 1e-5, name
+print("FACE_SHARDED_24_OK")
+"""
+
+
+@pytest.mark.slow
+def test_face_sharded_24_devices():
+    """(6, 2, 2) face-sharded layout on 24 virtual CPU devices - the
+    reference's 6*NX*NY rank layout shape - in a subprocess with its own
+    device count."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=24"
+    res = subprocess.run([sys.executable, "-c", _SUBPROC_24],
+                         capture_output=True, text=True, timeout=1200,
+                         env=env)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "FACE_SHARDED_24_OK" in res.stdout
