@@ -43,6 +43,11 @@ def _chain_time(fn: Callable, args, inner: int = 30, reps: int = 5) -> float:
     return ts[len(ts) // 2]
 
 
+# leaves whose time is already inside another leaf (the substep stage
+# split, the NH solve inside the substep): reported, not accounted
+_DETAIL_PREFIXES = ("substep: ", "nh vertical")
+
+
 @dataclass
 class PhaseTree:
     """Measured phase breakdown of one model step (seconds)."""
@@ -52,7 +57,8 @@ class PhaseTree:
 
     @property
     def accounted_s(self) -> float:
-        return sum(self.phases.values())
+        return sum(v for k, v in self.phases.items()
+                   if not k.startswith(_DETAIL_PREFIXES))
 
     def to_dict(self) -> dict:
         tot = self.full_step_s
@@ -73,10 +79,21 @@ class PhaseTree:
         return "\n".join(lines)
 
 
-def measure_phases(model, state, inner: int = 30) -> PhaseTree:
-    """Measure the phase tree of a HeldSuarez-style model on the current
+def measure_phases(model, state, inner: int = 30,
+                   forcing_fn: Optional[Callable] = None) -> PhaseTree:
+    """Measure the phase tree of a dycore-driven model on the current
     backend.  Phases are timed as independent jitted functions with
-    chained inputs; `substep` is scaled by n_split to per-step cost."""
+    chained inputs; `substep` is scaled by n_split to per-step cost.
+
+    The substep leaf is further split into its c_sw / transport / wind
+    stages (jnp path; the fused Pallas path keeps one leaf - its stages
+    are single kernels, mined per-HLO by scripts/xprof_kernels.py), and
+    the tracer z_tracer pass and NH vertical solve get their own leaves -
+    the reference's tree is multi-level
+    (/root/reference/src/tcn/benchmark/geos_log_parser.py:79-269).
+
+    forcing_fn(u, v, pt, delp) -> (u, v, pt): the model's column physics;
+    defaults to Held-Suarez forcing."""
     from ..dycore.sw import d_sw_substep, fill_substep
     from ..dycore.sw_pallas import d_sw_substep_pallas
     from ..ops.remap import remap_field
@@ -115,6 +132,94 @@ def measure_phases(model, state, inner: int = 30) -> PhaseTree:
                         (state.u, state.v, state.delp, state.pt),
                         inner=inner)
 
+    # ---- substep stage split (jnp path) ---------------------------------
+    stage_phases: Dict[str, float] = {}
+    n_sub = cfg.k_split * cfg.n_split
+    if not cfg.pallas_dycore:
+        from ..dycore.sw import (_hydrostatic_fields, c_sw, transport_part,
+                                 wind_part)
+
+        st0 = fill_substep(ops, state.u, state.v, state.delp, state.pt,
+                           None)
+
+        @jax.jit
+        def stage_csw_pair(pu, pv):
+            st = st0._replace(pu=pu, pv=pv)
+            return c_sw(st, m, 0.5 * dt_ac, cfg.ptop)
+
+        @jax.jit
+        def stage_csw(pu, pv):
+            # single-output variant: (uct, vct) shapes are transposed
+            # relative to (pu, pv), so the chained-input trick would feed
+            # mismatched shapes - time with fixed args instead
+            return stage_csw_pair(pu, pv)[0]
+
+        csw_t = _chain_time(stage_csw, (st0.pu, st0.pv), inner=inner)
+        uct, vct = stage_csw_pair(st0.pu, st0.pv)
+        crx = uct * dt_ac * m.rdxc
+        cry = vct * dt_ac * m.rdyc
+        xfx = uct * dt_ac * m.dy
+        yfx = vct * dt_ac * m.dx
+
+        @jax.jit
+        def stage_transport(pdx, pdy):
+            st = st0._replace(pd_x=pdx, pd_y=pdy)
+            dn, ptn, *_ = transport_part(st, m, crx, cry, xfx, yfx,
+                                         cfg.hord, False)
+            return dn, ptn
+
+        tr_t = _chain_time(stage_transport, (st0.pd_x, st0.pd_y),
+                           inner=inner)
+        delp_n, pt_n = stage_transport(st0.pd_x, st0.pd_y)
+        pkz_n, phi_n = _hydrostatic_fields(delp_n, pt_n, cfg.ptop)
+
+        @jax.jit
+        def stage_wind(pu, pv):
+            st = st0._replace(pu=pu, pv=pv)
+            return wind_part(st, m, uct, vct, crx, cry, pt_n, pkz_n,
+                             phi_n, None, dt_ac, cfg.hord, cfg.d2_bg)
+
+        wind_t = _chain_time(stage_wind, (st0.pu, st0.pv), inner=inner)
+        stage_phases = {
+            "substep: c_sw (xN)": csw_t * n_sub,
+            "substep: transport (xN)": tr_t * n_sub,
+            "substep: wind_part (xN)": wind_t * n_sub,
+        }
+
+    # ---- tracer z_tracer pass + NH vertical solve -----------------------
+    if cfg.z_tracer and cfg.ntracers and state.q is not None:
+        from ..dycore.fv_dynamics import _advect_tracers_accumulated
+
+        Ny = ops.ny + 2 * ops.h
+        Nx = ops.nx + 2 * ops.h
+        F, K = state.delp.shape[0], state.delp.shape[-1]
+        tacc = (jnp.zeros((F, Ny, Nx + 1, K)), jnp.zeros((F, Ny + 1, Nx, K)),
+                jnp.zeros((F, Ny, Nx + 1, K)), jnp.zeros((F, Ny + 1, Nx, K)),
+                jnp.zeros((F, Ny, Nx + 1, K)), jnp.zeros((F, Ny + 1, Nx, K)))
+
+        @jax.jit
+        def stage_tracer(q):
+            return _advect_tracers_accumulated(q, state.delp, tacc, ops, m,
+                                               cfg.hord, cfg.q_split)
+
+        stage_phases["tracer transport"] = _chain_time(
+            stage_tracer, (state.q,), inner=inner) * cfg.k_split
+
+    if not cfg.hydrostatic:
+        from ..dycore.nh_solver import vertical_acoustic_solve
+
+        delz0 = jnp.maximum(jnp.abs(state.delz) + 1.0, 1.0)
+        w_if0 = jnp.zeros(state.delp.shape[:-1]
+                          + (state.delp.shape[-1] + 1,))
+
+        @jax.jit
+        def stage_nh(w_if, delz):
+            return vertical_acoustic_solve(w_if, delz, state.pt,
+                                           state.delp, dt_ac, cfg.ptop)
+
+        stage_phases["nh vertical solve (xN)"] = _chain_time(
+            stage_nh, (w_if0, delz0), inner=inner) * n_sub
+
     pe1 = cfg.ptop + jnp.concatenate(
         [jnp.zeros_like(state.delp[..., :1]),
          jnp.cumsum(state.delp, axis=-1)], axis=-1)
@@ -128,22 +233,23 @@ def measure_phases(model, state, inner: int = 30) -> PhaseTree:
     # per step: pt + tracers + w/delz (NH) + u and v staggered columns
     n_remaps = 1 + cfg.ntracers + (2 if not cfg.hydrostatic else 0) + 2
 
+    if forcing_fn is None:
+        def forcing_fn(u, v, pt, delp):
+            return held_suarez_forcing(u, v, pt, delp, model.lats,
+                                       cfg.ptop, cfg.dt)
+
     @jax.jit
     def forcing(u, v, pt):
-        u2, v2, pt2 = held_suarez_forcing(u, v, pt, state.delp, model.lats,
-                                          cfg.ptop, cfg.dt)
-        return u2, v2, pt2
+        return forcing_fn(u, v, pt, state.delp)
 
     forcing_t = _chain_time(forcing, (state.u, state.v, state.pt),
                             inner=inner)
 
-    n_sub = cfg.k_split * cfg.n_split
-    return PhaseTree(
-        full_step_s=full,
-        phases={
-            "halo_fill (xN)": fill_t * n_sub,
-            "substep-minus-fill (xN)": max(sub_t - fill_t, 0.0) * n_sub,
-            "vertical remap": remap_t * n_remaps * cfg.k_split,
-            "hs_forcing": forcing_t,
-        },
-    )
+    phases = {
+        "halo_fill (xN)": fill_t * n_sub,
+        "substep-minus-fill (xN)": max(sub_t - fill_t, 0.0) * n_sub,
+        "vertical remap": remap_t * n_remaps * cfg.k_split,
+        "forcing/physics": forcing_t,
+    }
+    phases.update(stage_phases)
+    return PhaseTree(full_step_s=full, phases=phases)

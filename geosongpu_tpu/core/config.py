@@ -43,6 +43,11 @@ class DycoreConfig:
                                  # same math, VMEM-fused scheduling
     pallas_kt: int = 0           # vertical tile for the dycore kernels
                                  # (0 = whole column per block)
+    pallas_jt: int = 0           # J-row tile for the dycore kernels:
+                                 # 0 = auto (whole face when it fits VMEM,
+                                 # halo-overlapped row bands otherwise -
+                                 # what lets c192-L72 run the fused path);
+                                 # >0 = explicit rows per tile
     remap_band: int = 10  # banded vertical remap half-width in layers.
                           # On TPU this selects the fused Pallas kernel
                           # (ops/pallas/remap.py): exact while Lagrangian

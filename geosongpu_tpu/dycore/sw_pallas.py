@@ -42,13 +42,50 @@ from .sw import (PaddedMetrics, SWState, SubstepOut, _hydrostatic_fields,
 _METRIC_FIELDS = tuple(PaddedMetrics._fields)
 
 
-def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool):
+# overlap rows per J-tile: covers the deepest per-kernel stencil reach
+# (the whole substep chain fits in halo h=3; +1 guards the row-edge
+# replication helpers).  Tile boundaries at the true array edges keep the
+# edge treatment aligned, so valid output bands are bit-identical to the
+# whole-face kernel (asserted in tests/test_pallas_dycore.py).
+_JTILE_OVERLAP = 4
+
+
+def _face_call_jtiled(body, args, out_shapes, kt, interpret, jt):
+    """J-tile a whole-face kernel: run `body` on overlapping row bands
+    [s-R, e+R) and keep each tile's valid band [s, e).  This is what lets
+    the fused substep kernels run c192-L72: a whole-face VMEM block set
+    (~18 live fields x 11 MB) overflows VMEM, a 3-row-halo'd band does
+    not.  Staggered (rows N+1) arrays ride along with one extra row; the
+    last tile absorbs it."""
+    n_c = min(a.shape[1] for a in args)   # center (N) row count
+    outs = [[] for _ in out_shapes]
+    R = _JTILE_OVERLAP
+    s = 0
+    while s < n_c:
+        e = min(n_c, s + jt)
+        a0, b0 = max(0, s - R), min(n_c, e + R)
+        targs = [a[:, a0:b0 + (a.shape[1] - n_c)] for a in args]
+        tshapes = [(sh[0], b0 - a0 + (sh[1] - n_c)) + tuple(sh[2:])
+                   for sh in out_shapes]
+        touts = _face_call(body, targs, tshapes, kt, interpret, jt=0)
+        for i, (o, sh) in enumerate(zip(touts, out_shapes)):
+            e_i = e + (sh[1] - n_c) if e == n_c else e
+            outs[i].append(o[:, s - a0:e_i - a0])
+        s = e
+    return tuple(jnp.concatenate(ol, axis=1) for ol in outs)
+
+
+def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
+               jt: Optional[int] = None):
     """pallas_call over grid (faces, K/kt).
 
     args: list of [6, J, I, Kx] arrays (Kx == K, tiled; Kx == 1 or a
     non-K trailing dim < kt: replicated per K-tile).  Static parameters
     must already be closed over in `body`, which receives jnp views (with
-    the size-1 face axis kept) and returns a tuple matching out_shapes."""
+    the size-1 face axis kept) and returns a tuple matching out_shapes.
+    jt: J-tile row count (halo-overlapped bands); None/0 = whole face."""
+    if jt and jt < min(a.shape[1] for a in args):
+        return _face_call_jtiled(body, args, out_shapes, kt, interpret, jt)
     K = max(a.shape[-1] for a in args)
     kt = kt or K
     n_in = len(args)
@@ -101,12 +138,15 @@ def d_sw_substep_pallas(
     d2_bg: float = 0.015,
     advect_tracers: bool = True,
     kt: Optional[int] = None,
+    jt: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> SubstepOut:
     """Drop-in replacement for sw.d_sw_substep with the horizontal phases
     fused into Pallas kernels.  Bit-compatible math (same functions), with
     only fusion/scheduling differences; gated at 1e-4 relative in tests.
 
+    jt=None: auto J-tiling - whole-face blocks when they fit VMEM, halo-
+    overlapped row bands otherwise (c192-L72 and up).
     interpret=None: auto - compiled kernels on TPU, interpreter elsewhere
     (CPU tests / the virtual multi-chip mesh)."""
     if interpret is None:
@@ -119,6 +159,11 @@ def d_sw_substep_pallas(
     K = s.pd_x.shape[-1]
     nonhydro = s.pz_x is not None
     nm = len(_METRIC_FIELDS)
+    if jt is None:
+        # auto: fit ~22 live whole-width row bands in the VMEM budget
+        per_row = 22 * (N + 1) * (kt or K) * 4
+        rows = (96 * 1024 * 1024) // per_row
+        jt = 0 if rows >= N else max(16, int(rows) - 2 * _JTILE_OVERLAP)
 
     # ---- kernel 1: c_sw part 1 (C winds, half-step mass/pt, ke, vort) ---
     def k1(pu, pv, pdx, pdy, ptx, pty, *mets):
@@ -131,7 +176,7 @@ def d_sw_substep_pallas(
         [s.pu, s.pv, s.pd_x, s.pd_y, s.pt_x, s.pt_y] + _metrics_args(m),
         [(6, N, N + 1, K), (6, N + 1, N, K), (6, N, N, K), (6, N, N, K),
          (6, N, N, K), (6, N, N, K)],
-        kt, interpret)
+        kt, interpret, jt=jt)
 
     # ---- vertical glue: hydrostatic integrals of the half state ---------
     pkz_h, phi_h = _hydrostatic_fields(delp_h, pt_h, ptop)
@@ -152,7 +197,7 @@ def d_sw_substep_pallas(
         [uc, vc, pt_h, pkz_h, phi_h, ke, vort] + _metrics_args(m),
         [(6, N, N + 1, K), (6, N + 1, N, K), (6, N, N + 1, K),
          (6, N + 1, N, K), (6, N, N + 1, K), (6, N + 1, N, K)],
-        kt, interpret)
+        kt, interpret, jt=jt)
 
     # ---- kernel 3: all PPM transport ------------------------------------
     def k3(pdx, pdy, ptx, pty, crx, cry, xfx, yfx, *rest):
@@ -178,7 +223,7 @@ def d_sw_substep_pallas(
     if nonhydro:
         t_in += [s.pw_x, s.pw_y, s.pz_x, s.pz_y]
         t_out += [(6, N, N, K), (6, N, N, K)]
-    outs = _face_call(k3, t_in + _metrics_args(m), t_out, kt, interpret)
+    outs = _face_call(k3, t_in + _metrics_args(m), t_out, kt, interpret, jt=jt)
     delp_new, pt_new, mfx_pad, mfy_pad = outs[:4]
     w_adv, delz_adv = (outs[4], outs[5]) if nonhydro else (None, None)
 
@@ -197,7 +242,7 @@ def d_sw_substep_pallas(
                 k3b,
                 [s.pq_x[..., t], s.pq_y[..., t], s.pd_x, delp_new,
                  crx, cry, xfx, yfx, mfx_pad, mfy_pad] + _metrics_args(m),
-                [(6, N, N, K)], kt, interpret)
+                [(6, N, N, K)], kt, interpret, jt=jt)
             qs.append(qt)
         q_new = jnp.stack(qs, axis=-1)
     else:
@@ -240,7 +285,7 @@ def d_sw_substep_pallas(
         w_in += list(nh_fields)
     u_new, v_new = _face_call(
         k4, w_in + _metrics_args(m),
-        [(6, N + 1, N, K), (6, N, N + 1, K)], kt, interpret)
+        [(6, N + 1, N, K), (6, N, N + 1, K)], kt, interpret, jt=jt)
 
     return SubstepOut(
         u=u_new[isliceu],

@@ -33,6 +33,9 @@ from ..task import TaskBase
 @Registry.register
 class HSClimatology(TaskBase):
     def run_action(self, config, env: Environment) -> None:
+        import contextlib
+
+        import jax
         import jax.numpy as jnp
 
         from ...core.config import ExperimentConfig
@@ -41,6 +44,17 @@ class HSClimatology(TaskBase):
 
         cfg: ExperimentConfig = env.config
         dyc = cfg.dycore
+        # deliberate backend routing: tiny grids (c12-L20) are dominated
+        # by per-kernel dispatch latency on the tunneled TPU runtime
+        # (measured 347 ms/step on-chip vs ~25 ms on host CPU), so the
+        # climatology experiments pin backend: cpu in the registry; big
+        # grids leave it unset and run wherever the job landed
+        backend = config.get("backend")
+        stack = contextlib.ExitStack()
+        if backend and jax.default_backend() != backend:
+            Progress.log(f"HS climatology: routing to {backend} backend "
+                         "(small-grid dispatch latency)")
+            stack.enter_context(jax.default_device(jax.devices(backend)[0]))
         model = build_model(dyc)
         state = model.init(perturb=0.1)
 
@@ -83,6 +97,7 @@ class HSClimatology(TaskBase):
             nsamp += 1
         ubar = usum / max(nsamp, 1)
         tbar = tsum / max(nsamp, 1)
+        stack.close()
 
         ws = env.CI_WORKSPACE
         os.makedirs(ws, exist_ok=True)

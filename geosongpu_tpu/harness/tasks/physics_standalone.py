@@ -3,11 +3,14 @@
 Parity with /root/reference/src/tcn/ci/pipeline/physics_standalone.py:13-146:
 the reference builds each Fortran kernel twice (serial + OpenACC), runs 5
 datasets through both, and gates |oacc - serial| <= 0.01% per variable.
-The TPU analog builds each column kernel twice as well - jit on the default
-(accelerator) backend vs the CPU backend - runs 5 synthetic datasets, and
-applies the same 0.01% relative gate.  On a CPU-only host the two paths
-coincide (the task still exercises the whole pipeline); on TPU this is a
-genuine cross-backend numerical check of the compiled kernel.
+The TPU analog is the same dual-build contract: every column kernel runs
+through TWO compilation paths - the jnp source traced into XLA vs the
+fused Pallas/Mosaic kernel (ops/pallas/columns.py; on non-TPU hosts the
+Pallas interpreter) - over 5 synthetic datasets at the same 0.01% gate.
+GFDLMicrophysics and FillQ2Zero additionally have fully independent
+second implementations (own saturation functions / unrolled recurrences,
+ops/pallas/microphysics.py), so their gate compares genuinely different
+numerics, not just different compilers.
 """
 from __future__ import annotations
 
@@ -70,12 +73,34 @@ KERNELS: Dict[str, Callable] = {
 }
 
 
-def _run_kernel(name: str, data: Dict[str, np.ndarray], device) -> Dict[str, np.ndarray]:
+def _run_kernel(name: str, data: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Build 1: the jnp source traced into XLA (the 'serial' build)."""
     import jax
 
-    fn = KERNELS[name]
-    dev_data = {k: jax.device_put(v, device) for k, v in data.items()}
-    out = jax.jit(fn)(dev_data)
+    out = jax.jit(KERNELS[name])(data)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def _run_kernel_pallas(name: str, data: Dict[str, np.ndarray]
+                       ) -> Dict[str, np.ndarray]:
+    """Build 2: the fused Pallas/Mosaic kernel (the 'OpenACC' build);
+    interpreter mode off-TPU."""
+    import jax
+
+    from ...ops.pallas.columns import column_kernel_call, fill_q2_zero_pallas
+    from ...ops.pallas.microphysics import gfdl_microphysics_pallas
+
+    interp = jax.default_backend() != "tpu"
+    if name == "GFDLMicrophysics":
+        out = gfdl_microphysics_pallas(
+            data["t"], data["qv"], data["ql"], data["qr"], data["qi"],
+            data["p"], data["delp"], 600.0, interpret=interp)
+        out = dict(zip(("t", "qv", "ql", "qr", "qi", "precip"), out))
+    elif name == "FillQ2Zero":
+        out = {"q": fill_q2_zero_pallas(data["q_neg"], data["delp"],
+                                        interpret=interp)}
+    else:
+        out = column_kernel_call(KERNELS[name], data, interpret=interp)
     return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -83,21 +108,16 @@ class _PhysicsStandaloneBase(TaskBase):
     kernel: str = ""
 
     def run_action(self, config, env: Environment) -> None:
-        import jax
-
         ws = env.CI_WORKSPACE
         os.makedirs(ws, exist_ok=True)
-        default_dev = jax.devices()[0]
-        try:
-            cpu_dev = jax.devices("cpu")[0]
-        except RuntimeError:
-            cpu_dev = default_dev
 
         results = []
         for i in range(N_DATASETS):
             data = _datasets(seed=1000 + i)
-            ref = _run_kernel(self.kernel, data, cpu_dev)
-            opt = _run_kernel(self.kernel, data, default_dev)
+            ref = _run_kernel(self.kernel, data)
+            opt = _run_kernel_pallas(self.kernel, data)
+            assert set(ref) == set(opt), (self.kernel, ref.keys(),
+                                          opt.keys())
             results.append((ref, opt))
             np.savez_compressed(
                 os.path.join(ws, f"{self.kernel}_ds{i}.npz"),

@@ -53,6 +53,10 @@ class AquaplanetModel:
     ctx: DycoreContext
     lats: HSLatitudes
     step_fn: Callable[[DycoreState], DycoreState]
+    # the moist physics chain alone (surface fluxes -> shallow convection
+    # -> microphysics -> radiative relaxation); exposed so the benchmark
+    # phase tree can time it as its own leaf
+    physics_fn: Callable[[DycoreState], DycoreState] = None
 
     def init(self, perturb: float = 1.0e-3, seed: int = 0) -> DycoreState:
         ak = np.asarray(self.ctx.ak)
@@ -156,4 +160,5 @@ def build_model(config: DycoreConfig) -> AquaplanetModel:
         ctx=ctx,
         lats=lats,
         step_fn=jax.jit(step),
+        physics_fn=physics,
     )

@@ -1,17 +1,19 @@
-"""Pallas TPU kernel: fused GFDL-lite microphysics column update.
+"""Pallas TPU kernel: fused GFDL-1M microphysics column update.
 
 The jnp reference implementation (physics/standalone.py:gfdl_microphysics)
-is ~50 elementwise ops + a vertical sedimentation shift; XLA fuses it into
-a few passes over HBM.  This kernel fuses the *entire* chain into one HBM
-read + one write per field: a grid over column blocks, each block's
-[BLOCK_COLS, K] panes resident in VMEM, all arithmetic on the VPU, and the
-sedimentation shift done in-register (K is the lane dimension).
+is ~80 elementwise ops + two vertical sedimentation recurrences; XLA fuses
+it into a few passes over HBM.  This kernel fuses the *entire* chain into
+one HBM read + one write per field: a grid over column blocks, each
+block's [BLOCK_COLS, K] panes resident in VMEM, all arithmetic on the VPU,
+and the implicit-upstream sedimentation recurrence unrolled over the
+static K as single-lane updates in-register.
 
-Validation mirrors the reference's dual-build gate
-(/root/reference/src/tcn/ci/pipeline/physics_standalone.py:132-144): the
-pallas and jnp paths must agree within 0.01% (tests + the
-GFDLMicrophysicsPallas task).  On non-TPU backends the kernel runs in
-interpreter mode.
+This is a genuinely independent second implementation (its own saturation
+functions, its own recurrence formulation), gated against the jnp path at
+the reference's dual-build 0.01% contract
+(/root/reference/src/tcn/ci/pipeline/physics_standalone.py:132-144) in
+tests and the GFDLMicrophysics task.  On non-TPU backends the kernel runs
+in interpreter mode.
 """
 from __future__ import annotations
 
@@ -23,6 +25,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ...physics.standalone import (C_ACC, C_REVP, HLF, QL_CRIT, RHO0,
+                                   TAU_AUTO, TAU_WBF, VT_ICE_MAX,
+                                   VT_RAIN_MAX)
 from ...physics.thermo import (CP_AIR, EPS, GRAV, HLS, HLV, RDGAS, T_ICE)
 
 BLOCK_COLS = 256
@@ -31,6 +36,13 @@ BLOCK_COLS = 256
 def _qsat(t, p):
     tc = t - T_ICE
     es = 611.2 * jnp.exp(17.67 * tc / (tc + 243.5))
+    es = jnp.minimum(es, 0.9 * p)
+    return EPS * es / (p - (1.0 - EPS) * es)
+
+
+def _qsat_ice(t, p):
+    tc = t - T_ICE
+    es = 611.2 * jnp.exp(21.87 * tc / (tc + 265.5))
     es = jnp.minimum(es, 0.9 * p)
     return EPS * es / (p - (1.0 - EPS) * es)
 
@@ -49,43 +61,82 @@ def _mp_kernel(t_ref, qv_ref, ql_ref, qr_ref, qi_ref, p_ref, delp_ref,
     p = p_ref[:]
     delp = delp_ref[:]
 
-    # saturation adjustment (one Newton step)
-    qs0 = _qsat(t, p)
-    dq = (qv - qs0) / (1.0 + (HLV / CP_AIR) * _dqsat_dt(t, p))
-    cond = jnp.where(dq > 0, dq, jnp.maximum(dq, -ql))
-    qv = qv - cond
-    ql = ql + cond
-    t = t + HLV / CP_AIR * cond
+    rho = p / (RDGAS * jnp.maximum(t, 150.0))
+    dz = delp / (rho * GRAV)
 
-    # freeze / melt
-    freeze = jnp.where(t < T_ICE - 40.0, ql, 0.0)
-    melt = jnp.where(t > T_ICE, qi, 0.0)
-    ql = ql - freeze + melt
-    qi = qi + freeze - melt
-    t = t + (HLS - HLV) / CP_AIR * (freeze - melt)
+    # 1. saturation adjustment (2 Newton steps)
+    for _ in range(2):
+        qs0 = _qsat(t, p)
+        dq = (qv - qs0) / (1.0 + (HLV / CP_AIR) * _dqsat_dt(t, p))
+        cond = jnp.where(dq > 0, dq, jnp.maximum(dq, -ql))
+        qv = qv - cond
+        ql = ql + cond
+        t = t + HLV / CP_AIR * cond
 
-    # warm rain
-    auto = jnp.maximum(ql - 5.0e-4, 0.0) * (1.0 - jnp.exp(-dt / 1800.0))
-    acc = ql * (1.0 - jnp.exp(-dt * 2.2 * jnp.maximum(qr, 0.0) ** 0.875))
+    # 2. freezing / melting
+    tc = t - T_ICE
+    frz_hom = jnp.where(tc < -40.0, ql, 0.0)
+    bigg = ql * (1.0 - jnp.exp(
+        -dt * 1.0e-4 * (jnp.exp(0.66 * jnp.maximum(-tc, 0.0)) - 1.0)))
+    frz = jnp.minimum(ql, jnp.where((tc < 0.0) & (tc >= -40.0), bigg, 0.0)
+                      + frz_hom)
+    melt = jnp.where(tc > 0.0,
+                     jnp.minimum(qi, CP_AIR * jnp.maximum(tc, 0.0) / HLF),
+                     0.0)
+    ql = ql - frz + melt
+    qi = qi + frz - melt
+    t = t + (HLF / CP_AIR) * (frz - melt)
+
+    # 3. WBF deposition / ice sublimation
+    qs_i = _qsat_ice(t, p)
+    gam_i = 1.0 + (HLS / CP_AIR) * _dqsat_dt(t, p)
+    ice_presence = 1.0 - jnp.exp(-qi / 1.0e-6)
+    dep = jnp.where(tc < 0.0,
+                    jnp.maximum(qv - qs_i, 0.0) / gam_i * ice_presence
+                    * (1.0 - jnp.exp(-dt / TAU_WBF)), 0.0)
+    sub = jnp.minimum(qi, jnp.maximum(qs_i - qv, 0.0) / gam_i
+                      * (1.0 - jnp.exp(-dt / TAU_WBF)))
+    qv = qv - dep + sub
+    qi = qi + dep - sub
+    t = t + (HLS / CP_AIR) * (dep - sub)
+
+    # 4. warm rain
+    auto = jnp.maximum(ql - QL_CRIT, 0.0) * (1.0 - jnp.exp(-dt / TAU_AUTO))
+    acc = ql * (1.0 - jnp.exp(
+        -dt * C_ACC * jnp.maximum(rho * qr, 0.0) ** 0.875))
     to_rain = jnp.minimum(ql, auto + acc)
     ql = ql - to_rain
     qr = qr + to_rain
 
-    # sedimentation: shift the out-flux down one level (K is minor/lanes)
-    rho = p / (RDGAS * jnp.maximum(t, 150.0))
-    dz = delp / (rho * GRAV)
-    cr = jnp.clip(5.0 * dt / jnp.maximum(dz, 1.0), 0.0, 1.0)
-    out_flux = qr * cr * delp
-    # in_flux[k] = out_flux[k-1]; implement as a lane shift via slicing
-    zeros = jnp.zeros_like(out_flux[:, :1])
-    in_flux = jnp.concatenate([zeros, out_flux[:, :-1]], axis=1)
-    qr = qr + (in_flux - out_flux) / delp
-    precip_out[:] = out_flux[:, -1:] / GRAV
+    # 5. sedimentation: implicit upstream, the K recurrence unrolled as
+    # static single-lane updates (K is the lane dim; all indices static)
+    def sediment(q, vt):
+        c = vt * dt / jnp.maximum(dz, 1.0)
+        K = q.shape[-1]
+        cols = []
+        in_flux = jnp.zeros_like(q[:, :1])
+        for k in range(K):
+            qk = (q[:, k:k + 1] * delp[:, k:k + 1] + in_flux) \
+                / (1.0 + c[:, k:k + 1])
+            in_flux = qk * c[:, k:k + 1]
+            cols.append(qk / delp[:, k:k + 1])
+        return jnp.concatenate(cols, axis=1), in_flux
 
-    # rain evaporation
+    vt_r = jnp.clip(36.34 * jnp.maximum(rho * qr, 0.0) ** 0.2
+                    * jnp.sqrt(RHO0 / rho), 0.0, VT_RAIN_MAX)
+    qr, rain_out = sediment(qr, vt_r)
+    vt_i = jnp.clip(3.29 * jnp.maximum(rho * qi, 0.0) ** 0.16,
+                    0.0, VT_ICE_MAX)
+    qi, ice_out = sediment(qi, vt_i)
+    precip_out[:] = (rain_out + ice_out) / GRAV
+
+    # 6. rain evaporation
     qs1 = _qsat(t, p)
+    gam_l = 1.0 + (HLV / CP_AIR) * _dqsat_dt(t, p)
     subsat = jnp.maximum(qs1 - qv, 0.0)
-    evap = jnp.minimum(qr, 0.5 * subsat * (1.0 - jnp.exp(-dt / 3600.0)))
+    vent = 1.0 - jnp.exp(
+        -dt * C_REVP * jnp.maximum(rho * qr, 0.0) ** 0.525)
+    evap = jnp.minimum(qr, subsat / gam_l * vent)
     qr = qr - evap
     qv = qv + evap
     t = t - HLV / CP_AIR * evap

@@ -44,8 +44,11 @@ def remap_field_banded_pallas(q: jnp.ndarray, pe1: jnp.ndarray,
     p13 = pe1.reshape(F, J, I, K + 1)
     p23 = pe2.reshape(F, J, I, K + 1)
     if jt is None:
-        # ~18 live (jt, I, 128-padded-K) f32 buffers must fit VMEM
-        budget = 80 * 1024 * 1024
+        # live (jt, I, 128-padded-K) f32 buffers must fit VMEM; measured
+        # at c192-L72: ~36 live buffers through the banded chain (the 18-
+        # buffer estimate overflowed scoped vmem by 12%), so budget
+        # conservatively
+        budget = 36 * 1024 * 1024
         per_row = I * max(K, 128) * 4 * 18
         jt = max(1, min(J, budget // per_row))
     while J % jt:
@@ -67,6 +70,6 @@ def remap_field_banded_pallas(q: jnp.ndarray, pe1: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((F, J, I, K), jnp.float32),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
     )(q3, p13, p23)
     return out.reshape(*lead, J, I, K)

@@ -382,10 +382,17 @@ class SubtileFiller:
     ...].  Exposes rectangular block extents (ny, nx) - the dycore slices
     through ops.ny/ops.nx so blocks need not be square."""
 
-    def __init__(self, plan: SubtilePlan, axis_name: str = DEV_AXIS):
+    def __init__(self, plan: SubtilePlan, axis_name: str = DEV_AXIS,
+                 comm: bool = True):
         lay = plan.layout
         self.plan = plan
         self.axis_name = axis_name
+        # comm=False: skip the ppermutes, halo segments read the sender's
+        # own packed data - same local flop/memory profile, no
+        # collectives.  Used to measure the compute-only leg of the
+        # halo/compute overlap fraction (harness/tasks/scaling.py); NOT a
+        # correct model step.
+        self.comm = comm
         self.h = lay.h
         self.ny = lay.bny
         self.nx = lay.bnx
@@ -416,7 +423,9 @@ class SubtileFiller:
         for perm, pack_idx in rounds:
             row = jnp.take(pack_idx, didx, axis=0)
             msg = jnp.take(src, row, axis=0)
-            parts.append(jax.lax.ppermute(msg, self.axis_name, perm))
+            if self.comm:
+                msg = jax.lax.ppermute(msg, self.axis_name, perm)
+            parts.append(msg)
         return jnp.concatenate(parts, axis=0) if len(parts) > 1 else src
 
     def _unpack(self, full, table, dtype):
@@ -548,7 +557,7 @@ def subtile_mesh(lay: SubtileLayout, devices=None):
     return Mesh(np.asarray(devs[:lay.ndevices]), axis_names=(DEV_AXIS,))
 
 def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
-                       forcing=None):
+                       forcing=None, comm: bool = True):
     """Sharded full-model step over a subtile mesh.
 
     ctx: DycoreContext built for the GLOBAL grid (single-device).
@@ -584,7 +593,7 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
     def local_step(state_l, metrics_l, lats_l):
         sq = lambda t: jax.tree.map(lambda a: a[0], t)
         state_l = sq(state_l)
-        filler = SubtileFiller(plan)
+        filler = SubtileFiller(plan, comm=comm)
         lctx = DycoreContext(ops=filler, metrics=sq(metrics_l),
                              ak=ctx.ak, bk=ctx.bk, config=cfg)
         out = fv_dynamics_step(state_l, lctx)

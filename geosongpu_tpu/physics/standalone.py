@@ -121,54 +121,141 @@ class MicrophysicsOut(NamedTuple):
     ql: jnp.ndarray
     qr: jnp.ndarray
     qi: jnp.ndarray
-    precip: jnp.ndarray  # surface rain flux accumulated over dt [kg/m^2]
+    precip: jnp.ndarray  # surface precip flux accumulated over dt [kg/m^2]
+
+
+# ---- GFDL-1M process constants ------------------------------------------
+HLF = HLS - HLV          # latent heat of fusion [J/kg]
+RHO0 = 1.2               # reference air density [kg/m^3]
+QL_CRIT = 5.0e-4         # Kessler autoconversion threshold [kg/kg]
+TAU_AUTO = 1800.0        # autoconversion timescale [s]
+C_ACC = 2.2              # rain-accretion rate coefficient
+C_REVP = 0.3             # rain-evaporation ventilation coefficient
+TAU_WBF = 600.0          # Bergeron-Findeisen deposition timescale [s]
+VT_RAIN_MAX = 12.0       # clip on bulk rain fall speed [m/s]
+VT_ICE_MAX = 1.5
+
+
+def vt_rain(rho, qr):
+    """Lin et al. (1983)-type bulk mass-weighted rain fall speed [m/s]:
+    vt = 36.34 (rho qr)^0.2 sqrt(rho0/rho), clipped (the GFDL 1M scheme's
+    vtr formula family; role of gfdl_cloud_microphys' terminal_fall
+    speeds)."""
+    rq = jnp.maximum(rho * qr, 0.0)
+    return jnp.clip(36.34 * rq ** 0.2 * jnp.sqrt(RHO0 / rho),
+                    0.0, VT_RAIN_MAX)
+
+
+def vt_ice(rho, qi):
+    """Heymsfield & Donner (1990) bulk ice fall speed:
+    vt = 3.29 (rho qi)^0.16, clipped."""
+    rq = jnp.maximum(rho * qi, 0.0)
+    return jnp.clip(3.29 * rq ** 0.16, 0.0, VT_ICE_MAX)
+
+
+def _sediment_implicit(q, delp, c):
+    """Implicit upstream sedimentation: unconditionally stable for any
+    Courant number c = vt dt / dz (rain falls through many layers per
+    physics step).  Per layer (TOA -> surface): q' = (q delp + in) /
+    ((1 + c) delp), out = q' c delp.  Returns (q', surface flux)."""
+    K = q.shape[-1]
+
+    def body(in_flux, k):
+        qk = (q[..., k] * delp[..., k] + in_flux) / (1.0 + c[..., k])
+        out = qk * c[..., k]
+        return out, qk / delp[..., k]
+
+    zeros = jnp.zeros_like(q[..., 0])
+    out_last, cols = jax.lax.scan(body, zeros, jnp.arange(K))
+    return jnp.moveaxis(cols, 0, -1), out_last
 
 
 def gfdl_microphysics(t, qv, ql, qr, qi, p, delp, dt) -> MicrophysicsOut:
-    """Single-moment warm/cold rain lite: saturation adjustment,
-    autoconversion, accretion, rain evaporation, rain sedimentation
-    (semi-Lagrangian single pass), with latent heating.  Vertical index
-    runs TOA -> surface (matching the dycore layout)."""
-    # --- saturation adjustment (one Newton iteration) -------------------
-    qs0 = qsat(t, p)
-    dq = (qv - qs0) / (1.0 + (HLV / CP_AIR) * dqsat_dt(t, p))
-    cond = jnp.where(dq > 0, dq, jnp.maximum(dq, -ql))  # condense or evap
-    qv = qv - cond
-    ql = ql + cond
-    t = t + HLV / CP_AIR * cond
+    """Single-moment (GFDL-1M process set) bulk microphysics column:
 
-    # --- ice: freeze liquid below -40C, melt ice above 0C ----------------
-    freeze = jnp.where(t < T_ICE - 40.0, ql, 0.0)
-    melt = jnp.where(t > T_ICE, qi, 0.0)
-    ql = ql - freeze + melt
-    qi = qi + freeze - melt
-    t = t + (HLS - HLV) / CP_AIR * (freeze - melt)
+      1. saturation adjustment w.r.t. liquid (2 Newton iterations),
+      2. ice phase: homogeneous freezing below -40 C, Bigg (1953)-type
+         heterogeneous freezing between -40 and 0 C, melting above 0 C
+         limited by available sensible heat,
+      3. Wegener-Bergeron-Findeisen vapor deposition onto ice (growth to
+         ice saturation where ice is present) and ice sublimation in
+         ice-subsaturated air,
+      4. warm rain: Kessler autoconversion + Lin-type accretion,
+      5. sedimentation of rain AND ice with Lin/Heymsfield-Donner bulk
+         fall speeds through an implicit upstream pass (any Courant),
+      6. rain evaporation with a (rho qr)^0.525 ventilation factor.
 
-    # --- warm rain: autoconversion + accretion ---------------------------
-    ql_crit = 5.0e-4
-    tau_auto = 1800.0
-    auto = jnp.maximum(ql - ql_crit, 0.0) * (1.0 - jnp.exp(-dt / tau_auto))
-    acc = ql * (1.0 - jnp.exp(-dt * 2.2 * jnp.maximum(qr, 0.0) ** 0.875))
+    All phase changes carry latent heating; column total water is
+    conserved up to surface precipitation (asserted in tests).  Vertical
+    index runs TOA -> surface.  Role parity: the reference's
+    GFDLMicrophysics standalone
+    (/root/reference/src/tcn/ci/pipeline/physics_standalone.py:181-191).
+    """
+    rho = p / (RDGAS * jnp.maximum(t, 150.0))
+    dz = delp / (rho * GRAV)
+
+    # --- 1. saturation adjustment (2 Newton iterations) ------------------
+    for _ in range(2):
+        qs0 = qsat(t, p)
+        dq = (qv - qs0) / (1.0 + (HLV / CP_AIR) * dqsat_dt(t, p))
+        cond = jnp.where(dq > 0, dq, jnp.maximum(dq, -ql))
+        qv = qv - cond
+        ql = ql + cond
+        t = t + HLV / CP_AIR * cond
+
+    # --- 2. freezing / melting -------------------------------------------
+    tc = t - T_ICE
+    frz_hom = jnp.where(tc < -40.0, ql, 0.0)
+    # Bigg-type stochastic freezing rate, ~0 at 0C, fast by -30C
+    bigg = ql * (1.0 - jnp.exp(-dt * 1.0e-4 *
+                               (jnp.exp(0.66 * jnp.maximum(-tc, 0.0)) - 1.0)))
+    frz = jnp.minimum(ql, jnp.where((tc < 0.0) & (tc >= -40.0), bigg, 0.0)
+                      + frz_hom)
+    melt = jnp.where(tc > 0.0,
+                     jnp.minimum(qi, CP_AIR * jnp.maximum(tc, 0.0) / HLF),
+                     0.0)
+    ql = ql - frz + melt
+    qi = qi + frz - melt
+    t = t + (HLF / CP_AIR) * (frz - melt)
+
+    # --- 3. WBF deposition / ice sublimation ------------------------------
+    qs_i = qsat_ice(t, p)
+    gam_i = 1.0 + (HLS / CP_AIR) * dqsat_dt(t, p)
+    ice_presence = 1.0 - jnp.exp(-qi / 1.0e-6)
+    dep = jnp.where(
+        (tc < 0.0),
+        jnp.maximum(qv - qs_i, 0.0) / gam_i * ice_presence
+        * (1.0 - jnp.exp(-dt / TAU_WBF)),
+        0.0)
+    sub = jnp.minimum(
+        qi, jnp.maximum(qs_i - qv, 0.0) / gam_i
+        * (1.0 - jnp.exp(-dt / TAU_WBF)))
+    qv = qv - dep + sub
+    qi = qi + dep - sub
+    t = t + (HLS / CP_AIR) * (dep - sub)
+
+    # --- 4. warm rain ------------------------------------------------------
+    auto = jnp.maximum(ql - QL_CRIT, 0.0) * (1.0 - jnp.exp(-dt / TAU_AUTO))
+    acc = ql * (1.0 - jnp.exp(-dt * C_ACC *
+                              jnp.maximum(rho * qr, 0.0) ** 0.875))
     to_rain = jnp.minimum(ql, auto + acc)
     ql = ql - to_rain
     qr = qr + to_rain
 
-    # --- rain sedimentation: fall one pass with constant speed ----------
-    # flux form: mass flux out of layer k = min(qr*delp, vt*dt/dz * qr*delp)
-    vt = 5.0  # m/s bulk rain fall speed
-    rho = p / (RDGAS * jnp.maximum(t, 150.0))
-    dz = delp / (rho * GRAV)
-    cr = jnp.clip(vt * dt / jnp.maximum(dz, 1.0), 0.0, 1.0)
-    out_flux = qr * cr * delp              # [Pa kg/kg] leaving each layer
-    in_flux = jnp.concatenate(
-        [jnp.zeros_like(out_flux[..., :1]), out_flux[..., :-1]], axis=-1)
-    qr = qr + (in_flux - out_flux) / delp
-    precip = out_flux[..., -1] / GRAV      # surface flux [kg/m^2 per dt]
+    # --- 5. sedimentation (rain + ice), implicit upstream -----------------
+    cr = vt_rain(rho, qr) * dt / jnp.maximum(dz, 1.0)
+    qr, rain_out = _sediment_implicit(qr, delp, cr)
+    ci = vt_ice(rho, qi) * dt / jnp.maximum(dz, 1.0)
+    qi, ice_out = _sediment_implicit(qi, delp, ci)
+    precip = (rain_out + ice_out) / GRAV   # [kg/m^2 per dt]
 
-    # --- rain evaporation in subsaturated air ---------------------------
+    # --- 6. rain evaporation ----------------------------------------------
     qs1 = qsat(t, p)
+    gam_l = 1.0 + (HLV / CP_AIR) * dqsat_dt(t, p)
     subsat = jnp.maximum(qs1 - qv, 0.0)
-    evap = jnp.minimum(qr, 0.5 * subsat * (1.0 - jnp.exp(-dt / 3600.0)))
+    vent = 1.0 - jnp.exp(-dt * C_REVP *
+                         jnp.maximum(rho * qr, 0.0) ** 0.525)
+    evap = jnp.minimum(qr, subsat / gam_l * vent)
     qr = qr - evap
     qv = qv + evap
     t = t - HLV / CP_AIR * evap

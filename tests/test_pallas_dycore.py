@@ -120,3 +120,31 @@ def test_substep_pallas_strict_tpu():
         a, b = getattr(ref, f), getattr(out, f)
         scale = float(jnp.abs(a).max()) + 1e-30
         assert float(jnp.abs(a - b).max()) <= 1e-5 * scale, f
+
+
+def test_jtiled_substep_bit_identical():
+    """Halo-overlapped J-tiling (what lets c192-L72 fit VMEM) must be
+    bit-identical to the whole-face kernels, padded outputs included
+    (_JTILE_OVERLAP covers the per-kernel stencil reach)."""
+    from geosongpu_tpu.core.grid import build_grid
+    from geosongpu_tpu.core.state import init_state
+    from geosongpu_tpu.core.vertical import hybrid_coordinate
+    from geosongpu_tpu.dycore.fv_dynamics import build_context
+
+    cfg = DycoreConfig(npx=12, npz=8, dt=600.0, n_split=2)
+    grid = build_grid(cfg.npx, cfg.halo)
+    ak, bk = hybrid_coordinate(cfg.npz, cfg.ptop)
+    ctx = build_context(cfg, grid, ak, bk)
+    st = init_state(cfg, grid, ak, bk, perturb=1.0)
+    s = fill_substep(ctx.ops, st.u, st.v, st.delp, st.pt, st.q)
+    whole = d_sw_substep_pallas(s, ctx.metrics, ctx.ops, 100.0, cfg.ptop,
+                                interpret=True)
+    for jt in (5, 7):
+        tiled = d_sw_substep_pallas(s, ctx.metrics, ctx.ops, 100.0,
+                                    cfg.ptop, interpret=True, jt=jt)
+        for f in whole._fields:
+            a, b = getattr(whole, f), getattr(tiled, f)
+            if a is None:
+                continue
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{f} jt={jt}")

@@ -95,3 +95,63 @@ def test_moist_rad_coup_fields(cols):
     cf = np.asarray(out["cloud_fraction"])
     assert (cf >= 0).all() and (cf <= 1).all()
     assert (np.asarray(out["re_ice"]) >= 10e-6 - 1e-12).all()
+
+
+def test_microphysics_sedimentation_stable_at_large_courant(cols):
+    """Implicit upstream fall: rain falling many layers per step (CFL >> 1)
+    must stay bounded, positive, and conservative."""
+    qr = jnp.full_like(cols["qr"], 5e-3)  # heavy rain -> vt ~ 10 m/s
+    out = K.gfdl_microphysics(cols["t"], cols["qv"], cols["ql"], qr,
+                              cols["qi"], cols["p"], cols["delp"], 1800.0)
+    assert float(out.qr.min()) >= 0.0
+    assert np.isfinite(np.asarray(out.qr)).all()
+    from geosongpu_tpu.physics.thermo import GRAV
+
+    dp = np.asarray(cols["delp"])
+    w0 = np.sum(np.asarray(cols["qv"] + cols["ql"] + qr + cols["qi"]) * dp,
+                axis=-1)
+    w1 = np.sum(np.asarray(out.qv + out.ql + out.qr + out.qi) * dp, axis=-1)
+    np.testing.assert_allclose(w1 + np.asarray(out.precip) * GRAV, w0,
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_microphysics_ice_processes(cols):
+    """Cold columns: supercooled liquid freezes (warming), ice deposits in
+    ice-supersaturated air, fall speeds stay in physical ranges."""
+    t_cold = cols["t"] - 60.0  # well below freezing aloft
+    out = K.gfdl_microphysics(t_cold, cols["qv"], cols["ql"], cols["qr"],
+                              cols["qi"], cols["p"], cols["delp"], 600.0)
+    # homogeneous freezing below -40C leaves no liquid there (mask on the
+    # post-adjustment temperature: condensation heating can lift a cell
+    # past the threshold)
+    mask = np.asarray(out.t) < (273.16 - 40.0)
+    assert float(np.asarray(out.ql)[mask].max(initial=0.0)) < 1e-7
+    # freezing releases latent heat: mean T change in frozen region >= 0
+    dT = np.asarray(out.t - t_cold)
+    assert dT[mask].mean() >= -1e-3
+    # fall speeds bounded
+    rho = np.asarray(cols["p"]) / (287.04 * np.asarray(t_cold))
+    vtr = np.asarray(K.vt_rain(jnp.asarray(rho), out.qr))
+    vti = np.asarray(K.vt_ice(jnp.asarray(rho), out.qi))
+    assert vtr.max() <= K.VT_RAIN_MAX + 1e-6 and vtr.min() >= 0
+    assert vti.max() <= K.VT_ICE_MAX + 1e-6 and vti.min() >= 0
+
+
+def test_all_seven_kernels_dual_build_gate():
+    """The reference's serial-vs-OACC 0.01% contract
+    (physics_standalone.py:132-144): jnp/XLA build vs Pallas build for
+    every kernel on one dataset (the task runs 5)."""
+    from geosongpu_tpu.harness.tasks.physics_standalone import (
+        KERNELS, _datasets, _run_kernel, _run_kernel_pallas)
+
+    data = _datasets(seed=7)
+    for name in KERNELS:
+        ref = _run_kernel(name, data)
+        opt = _run_kernel_pallas(name, data)
+        assert set(ref) == set(opt)
+        for var in ref:
+            a = ref[var].astype(np.float64)
+            b = opt[var].astype(np.float64)
+            scale = np.sqrt(np.mean(a ** 2)) or 1.0
+            rel = np.sqrt(np.mean((b - a) ** 2)) / scale
+            assert rel < 1e-4, (name, var, rel)

@@ -171,8 +171,11 @@ def test_nonhydrostatic_sharded_step():
 
 
 _SUBPROC_24 = """
+import jax
+jax.config.update("jax_platforms", "cpu")  # env var too late: jax preloads
 import dataclasses
 import numpy as np
+assert len(jax.devices()) == 24, jax.devices()
 from geosongpu_tpu.core.config import DycoreConfig
 from geosongpu_tpu.models.held_suarez import build_model
 from geosongpu_tpu.parallel.subtile import SubtileLayout, build_subtile_step
