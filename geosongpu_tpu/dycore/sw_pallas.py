@@ -160,10 +160,12 @@ def d_sw_substep_pallas(
     nonhydro = s.pz_x is not None
     nm = len(_METRIC_FIELDS)
     if jt is None:
-        # auto: fit ~22 live whole-width row bands in the VMEM budget
-        per_row = 22 * (N + 1) * (kt or K) * 4
-        rows = (96 * 1024 * 1024) // per_row
-        jt = 0 if rows >= N else max(16, int(rows) - 2 * _JTILE_OVERLAP)
+        # auto: fit ~22 live whole-width row bands in the VMEM budget;
+        # every pallas window is double-buffered across grid steps
+        # (measured: c192 windows report "2 buffering levels"), hence 44
+        per_row = 44 * (N + 1) * (kt or K) * 4
+        rows = (80 * 1024 * 1024) // per_row
+        jt = 0 if rows >= N else max(12, int(rows) - 2 * _JTILE_OVERLAP)
 
     # ---- kernel 1: c_sw part 1 (C winds, half-step mass/pt, ke, vort) ---
     def k1(pu, pv, pdx, pdy, ptx, pty, *mets):

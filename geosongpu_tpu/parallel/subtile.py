@@ -556,6 +556,20 @@ def subtile_mesh(lay: SubtileLayout, devices=None):
             f"layout needs {lay.ndevices} devices, have {len(devs)}")
     return Mesh(np.asarray(devs[:lay.ndevices]), axis_names=(DEV_AXIS,))
 
+
+def _put_stacked(arr_np: np.ndarray, sharding):
+    """Place a host-stacked [D, ...] array under a (possibly multi-host)
+    sharding.  device_put cannot target non-addressable devices, so cross-
+    process meshes build the jax.Array from per-shard callbacks - each
+    process materializes only its own blocks (the launcher's
+    jax.distributed path, harness/launcher.py)."""
+    local_only = all(d.process_index == jax.process_index()
+                     for d in sharding.mesh.devices.flat)
+    if local_only:
+        return jax.device_put(jnp.asarray(arr_np), sharding)
+    return jax.make_array_from_callback(
+        arr_np.shape, sharding, lambda idx: np.ascontiguousarray(arr_np[idx]))
+
 def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
                        forcing=None, comm: bool = True):
     """Sharded full-model step over a subtile mesh.
@@ -580,15 +594,18 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
         "the fused Pallas substep path is whole-face; use the jnp path "
         "under subtile sharding")
 
+    spec = P(DEV_AXIS)
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
     metrics_st = jax.tree.map(
-        lambda a: jnp.asarray(stack_blocks(lay, np.asarray(a))),
+        lambda a: _put_stacked(stack_blocks(lay, np.asarray(a)), sharding),
         ctx.metrics)
     lats_st = None
     if lats is not None:
         lats_st = jax.tree.map(
-            lambda a: jnp.asarray(stack_blocks(lay, np.asarray(a))), lats)
-
-    spec = P(DEV_AXIS)
+            lambda a: _put_stacked(stack_blocks(lay, np.asarray(a)),
+                                   sharding), lats)
 
     def local_step(state_l, metrics_l, lats_l):
         sq = lambda t: jax.tree.map(lambda a: a[0], t)
@@ -601,21 +618,21 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
             out = forcing(out, sq(lats_l))
         return jax.tree.map(lambda a: a[None], out)
 
-    n_lats = lats_st if lats_st is not None else jnp.zeros((lay.ndevices,))
-    step_sm = jax.shard_map(
-        local_step, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    if lats_st is None:
+        lats_st = _put_stacked(np.zeros((lay.ndevices, 1)), sharding)
+    step_sm = jax.jit(jax.shard_map(
+        local_step, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=spec))
 
-    @jax.jit
     def step(state_stacked):
-        return step_sm(state_stacked, metrics_st, n_lats)
-
-    sharding = NamedSharding(mesh, spec)
+        # metrics/lats ride as runtime args (jit constants would need the
+        # full value on every process - impossible on a multi-host mesh)
+        return step_sm(state_stacked, metrics_st, lats_st)
 
     def place(state):
         return jax.tree.map(
-            lambda a: jax.device_put(
-                jnp.asarray(stack_blocks(lay, np.asarray(a))), sharding),
-            state)
+            lambda a: _put_stacked(stack_blocks(lay, np.asarray(a)),
+                                   sharding), state)
 
     def unplace(state_stacked, n: int):
         def one(a):
