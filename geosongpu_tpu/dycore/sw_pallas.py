@@ -50,7 +50,8 @@ _METRIC_FIELDS = tuple(PaddedMetrics._fields)
 _JTILE_OVERLAP = 4
 
 
-def _face_call_jtiled(body, args, out_shapes, kt, interpret, jt):
+def _face_call_jtiled(body, args, out_shapes, kt, interpret, jt,
+                      name=None):
     """J-tile a whole-face kernel: run `body` on overlapping row bands
     [s-R, e+R) and keep each tile's valid band [s, e).  This is what lets
     the fused substep kernels run c192-L72: a whole-face VMEM block set
@@ -67,7 +68,8 @@ def _face_call_jtiled(body, args, out_shapes, kt, interpret, jt):
         targs = [a[:, a0:b0 + (a.shape[1] - n_c)] for a in args]
         tshapes = [(sh[0], b0 - a0 + (sh[1] - n_c)) + tuple(sh[2:])
                    for sh in out_shapes]
-        touts = _face_call(body, targs, tshapes, kt, interpret, jt=0)
+        touts = _face_call(body, targs, tshapes, kt, interpret, jt=0,
+                           name=name)
         for i, (o, sh) in enumerate(zip(touts, out_shapes)):
             e_i = e + (sh[1] - n_c) if e == n_c else e
             outs[i].append(o[:, s - a0:e_i - a0])
@@ -76,7 +78,7 @@ def _face_call_jtiled(body, args, out_shapes, kt, interpret, jt):
 
 
 def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
-               jt: Optional[int] = None):
+               jt: Optional[int] = None, name: Optional[str] = None):
     """pallas_call over grid (faces, K/kt).
 
     args: list of [6, J, I, Kx] arrays (Kx == K, tiled; Kx == 1 or a
@@ -85,13 +87,22 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
     the size-1 face axis kept) and returns a tuple matching out_shapes.
     jt: J-tile row count (halo-overlapped bands); None/0 = whole face."""
     if jt and jt < min(a.shape[1] for a in args):
-        return _face_call_jtiled(body, args, out_shapes, kt, interpret, jt)
+        return _face_call_jtiled(body, args, out_shapes, kt, interpret, jt,
+                                 name=name)
     K = max(a.shape[-1] for a in args)
     kt = kt or K
     n_in = len(args)
 
+    # [*, 1]-trailing (metric) inputs: a 4-D window would pad the size-1
+    # lane dim to 128 - measured at c192: every 2-D metric window then
+    # costs as much as a full K-field window (5.5 MB x 16 metrics blew
+    # VMEM).  Squeeze them to 3-D blocks (lanes = I) and re-expand inside
+    # the kernel.
+    squeezed = [a.ndim == 4 and a.shape[-1] == 1 and K != 1 for a in args]
+    args = [a[..., 0] if sq else a for a, sq in zip(args, squeezed)]
+
     def spec(shape):
-        if shape[-1] == K and K != 1:
+        if len(shape) == 4 and shape[-1] == K and K != 1:
             return pl.BlockSpec(
                 (1, shape[1], shape[2], kt),
                 lambda f, k: (f, 0, 0, k), memory_space=pltpu.VMEM)
@@ -101,7 +112,8 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
             memory_space=pltpu.VMEM)
 
     def kernel(*refs):
-        ins = [r[:] for r in refs[:n_in]]
+        ins = [r[:][..., None] if sq else r[:]
+               for r, sq in zip(refs[:n_in], squeezed)]
         outs = body(*ins)
         if not isinstance(outs, (tuple, list)):
             outs = (outs,)
@@ -110,6 +122,7 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
 
     return pl.pallas_call(
         kernel,
+        name=name or "face_kernel",
         grid=(6, K // kt),
         in_specs=[spec(a.shape) for a in args],
         out_specs=[spec(s) for s in out_shapes],
@@ -160,11 +173,13 @@ def d_sw_substep_pallas(
     nonhydro = s.pz_x is not None
     nm = len(_METRIC_FIELDS)
     if jt is None:
-        # auto: fit ~22 live whole-width row bands in the VMEM budget;
-        # every pallas window is double-buffered across grid steps
-        # (measured: c192 windows report "2 buffering levels"), hence 44
-        per_row = 44 * (N + 1) * (kt or K) * 4
-        rows = (80 * 1024 * 1024) // per_row
+        # auto: calibrated against the c192 vmem dumps - the worst kernel
+        # costs ~48 lane-padded row-panes per input row (12 double-
+        # buffered K-field windows + ~78M of body scratch for the fused
+        # chain's live temporaries); metrics are squeezed 3-D (cheap)
+        lanes = ((kt or K) + 127) // 128 * 128
+        per_row = 48 * (N + 2) * lanes * 4
+        rows = (118 * 1024 * 1024) // per_row
         jt = 0 if rows >= N else max(12, int(rows) - 2 * _JTILE_OVERLAP)
 
     # ---- kernel 1: c_sw part 1 (C winds, half-step mass/pt, ke, vort) ---
@@ -178,7 +193,7 @@ def d_sw_substep_pallas(
         [s.pu, s.pv, s.pd_x, s.pd_y, s.pt_x, s.pt_y] + _metrics_args(m),
         [(6, N, N + 1, K), (6, N + 1, N, K), (6, N, N, K), (6, N, N, K),
          (6, N, N, K), (6, N, N, K)],
-        kt, interpret, jt=jt)
+        kt, interpret, jt=jt, name="dsw_csw1")
 
     # ---- vertical glue: hydrostatic integrals of the half state ---------
     pkz_h, phi_h = _hydrostatic_fields(delp_h, pt_h, ptop)
@@ -199,7 +214,7 @@ def d_sw_substep_pallas(
         [uc, vc, pt_h, pkz_h, phi_h, ke, vort] + _metrics_args(m),
         [(6, N, N + 1, K), (6, N + 1, N, K), (6, N, N + 1, K),
          (6, N + 1, N, K), (6, N, N + 1, K), (6, N + 1, N, K)],
-        kt, interpret, jt=jt)
+        kt, interpret, jt=jt, name="dsw_csw2")
 
     # ---- kernel 3: all PPM transport ------------------------------------
     def k3(pdx, pdy, ptx, pty, crx, cry, xfx, yfx, *rest):
@@ -225,7 +240,8 @@ def d_sw_substep_pallas(
     if nonhydro:
         t_in += [s.pw_x, s.pw_y, s.pz_x, s.pz_y]
         t_out += [(6, N, N, K), (6, N, N, K)]
-    outs = _face_call(k3, t_in + _metrics_args(m), t_out, kt, interpret, jt=jt)
+    outs = _face_call(k3, t_in + _metrics_args(m), t_out, kt, interpret,
+                      jt=jt, name="dsw_transport")
     delp_new, pt_new, mfx_pad, mfy_pad = outs[:4]
     w_adv, delz_adv = (outs[4], outs[5]) if nonhydro else (None, None)
 
@@ -244,7 +260,7 @@ def d_sw_substep_pallas(
                 k3b,
                 [s.pq_x[..., t], s.pq_y[..., t], s.pd_x, delp_new,
                  crx, cry, xfx, yfx, mfx_pad, mfy_pad] + _metrics_args(m),
-                [(6, N, N, K)], kt, interpret, jt=jt)
+                [(6, N, N, K)], kt, interpret, jt=jt, name="dsw_tracer")
             qs.append(qt)
         q_new = jnp.stack(qs, axis=-1)
     else:
@@ -287,7 +303,8 @@ def d_sw_substep_pallas(
         w_in += list(nh_fields)
     u_new, v_new = _face_call(
         k4, w_in + _metrics_args(m),
-        [(6, N + 1, N, K), (6, N, N + 1, K)], kt, interpret, jt=jt)
+        [(6, N + 1, N, K), (6, N, N + 1, K)], kt, interpret, jt=jt,
+        name="dsw_wind")
 
     return SubstepOut(
         u=u_new[isliceu],

@@ -179,6 +179,7 @@ def gfdl_microphysics_pallas(t, qv, ql, qr, qi, p, delp, dt,
                      memory_space=pltpu.VMEM)]
     outs = pl.pallas_call(
         functools.partial(_mp_kernel, dt=float(dt)),
+        name="gfdl_microphysics",
         grid=(nblk,),
         in_specs=[spec] * 7,
         out_specs=out_specs,

@@ -64,6 +64,7 @@ def remap_field_banded_pallas(q: jnp.ndarray, pe1: jnp.ndarray,
 
     out = pl.pallas_call(
         kernel,
+        name="remap_banded",
         grid=(F, J // jt),
         in_specs=[spec(K), spec(K + 1), spec(K + 1)],
         out_specs=spec(K),

@@ -25,9 +25,14 @@ def main(argv=None) -> int:
 
     s = sub.add_parser("serialbox")
     s.add_argument("dat_dir")
-    s.add_argument("out")
-    s.add_argument("-r", "--rank", type=int, default=None)
+    s.add_argument("out_dir")
+    s.add_argument("-l", "--layout", default="1,1",
+                   help="per-face rank layout NX,NY (x 6 tiles)")
+    s.add_argument("-n", "--nml", default=None,
+                   help="input.nml to read the layout from")
     s.add_argument("-s", "--savepoint", default=None)
+    s.add_argument("-f", "--fmt", default="auto",
+                   choices=["auto", "nc", "npz"])
 
     args = p.parse_args(argv)
 
@@ -45,8 +50,12 @@ def main(argv=None) -> int:
     if args.cmd == "serialbox":
         from .serialbox_convert import convert
 
-        path = convert(args.dat_dir, args.out, args.rank, args.savepoint)
-        print(f"wrote {path}")
+        lx, ly = (int(x) for x in args.layout.split(","))
+        paths = convert(args.dat_dir, args.out_dir, layout=(lx, ly),
+                        nml=args.nml, savepoint=args.savepoint,
+                        fmt=args.fmt)
+        for path in paths:
+            print(f"wrote {path}")
         return 0
     return 1
 
