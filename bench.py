@@ -7,6 +7,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 than that anchor.  The reference publishes no absolute throughput numbers
 (BASELINE.json `published: {}`), so the anchor is our own round-1 mark.
 """
+import glob
 import json
 import os
 import sys
@@ -72,12 +73,21 @@ def main() -> int:
         if anchor > 0:
             vs = gps / anchor
 
-    print(json.dumps({
+    out = {
         "metric": f"grid-points/s/chip c{npx}-L{npz} Held-Suarez",
         "value": round(gps, 1),
         "unit": "gridpoints/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    # cite the measured per-kernel roofline artifact when present
+    # (scripts/roofline.py; BASELINE.md kernel-efficiency row)
+    roof = sorted(glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "results", "roofline_r*.json")))
+    if roof:
+        out["roofline_artifact"] = os.path.relpath(
+            roof[-1], os.path.dirname(os.path.abspath(__file__)))
+    print(json.dumps(out))
     return 0
 
 

@@ -61,6 +61,15 @@ class DycoreConfig:
     vertical: str = "hybrid"  # "sigma" | "hybrid"
     dtype: str = "float32"  # reference runs PACE_FLOAT_PRECISION=32
                             # (/root/reference/src/tcn/ci/pipeline/gtfv3_config.py:11)
+    w_sponge_p: float = 0.0   # NH mode: Rayleigh-damp w where p < this
+                              # [Pa] (model-top acoustic/gravity-wave
+                              # sponge; 0 = off)
+    w_sponge_tau: float = 3600.0  # sponge e-folding time [s]
+    edge_symmetrize: bool = True  # average the two prognosed copies of
+                                  # every shared face-edge staggered wind
+                                  # after each step (kills shared-edge
+                                  # rounding drift; exact-arithmetic
+                                  # no-op)
     overlap_fills: bool = False  # pipeline scalar halo exchanges across
                                  # acoustic substeps: substep i+1's
                                  # delp/pt/w/delz fills are issued right

@@ -103,6 +103,10 @@ class Grid:
     rsina_i: np.ndarray  # 1/sqrt(1-cosa_i^2)
     cosa_j: np.ndarray  # [6, N+1, N] at y-interfaces (u-point locations)
     rsina_j: np.ndarray
+    cosa_c: np.ndarray   # [6, N, N] at cell centers (pseudo-scalar padded)
+    rsin2_c: np.ndarray  # 1/sin^2 at centers
+    cosa_cn: np.ndarray  # [6, N+1, N+1] at cell corners
+    rsin2_cn: np.ndarray
 
     @property
     def interior(self):
@@ -217,6 +221,35 @@ def build_grid(n: int, h: int = 3) -> Grid:
     rsina_i = 1.0 / np.sqrt(np.maximum(1.0 - cosa_i_pad ** 2, 0.25))
     rsina_j = 1.0 / np.sqrt(np.maximum(1.0 - cosa_j_pad ** 2, 0.25))
 
+    # cell-CENTER cosa (for the contravariant KE |V|^2 = rsin2 (u^2 + v^2
+    # - 2 cosa u v) from covariant comps; FV3's sin_sg/rsin2 role): halo
+    # values carry the pseudo-scalar parity vsy*vsx of the frame change,
+    # because halo winds are stored as relabeled neighbor components
+    cosa_cc = np.zeros((NFACES, n, n))
+    CJ2, CI2 = np.meshgrid(c, c, indexing="ij")
+    for f in range(NFACES):
+        cosa_cc[f] = _basis_cos(f, CI2, CJ2)
+    cosa_c = cosa_cc.reshape(-1)[spec.gidx_x] * (
+        spec.vsy_x * spec.vsx_x).astype(np.float64)
+    rsin2_c = 1.0 / np.maximum(1.0 - cosa_c ** 2, 0.25)
+
+    # cell-CORNER cosa (for the corner KE from C-grid normal comps:
+    # |V|^2 = rsin2 (ub^2 + vb^2 + 2 cosa ub vb)): interior corners exact,
+    # halo corners from the padded center values (consumed only within
+    # stencil reach of the interior)
+    cosa_cn = 0.25 * (np.pad(cosa_c, ((0, 0), (1, 1), (1, 1)), mode="edge")
+                      [:, :-1, :-1]
+                      + np.pad(cosa_c, ((0, 0), (1, 1), (1, 1)),
+                               mode="edge")[:, :-1, 1:]
+                      + np.pad(cosa_c, ((0, 0), (1, 1), (1, 1)),
+                               mode="edge")[:, 1:, :-1]
+                      + np.pad(cosa_c, ((0, 0), (1, 1), (1, 1)),
+                               mode="edge")[:, 1:, 1:])
+    SJ2, SI2 = np.meshgrid(s, s, indexing="ij")
+    for f in range(NFACES):
+        cosa_cn[f, h:h + n + 1, h:h + n + 1] = _basis_cos(f, SI2, SJ2)
+    rsin2_cn = 1.0 / np.maximum(1.0 - cosa_cn ** 2, 0.25)
+
     # corner Coriolis from interface positions: build padded corner z by
     # gathering per-face corner grids is overkill; interior corners are exact,
     # halo corners approximated from center average (used only via vorticity
@@ -250,4 +283,8 @@ def build_grid(n: int, h: int = 3) -> Grid:
         rsina_i=f32(rsina_i),
         cosa_j=f32(cosa_j_pad),
         rsina_j=f32(rsina_j),
+        cosa_c=f32(cosa_c),
+        rsin2_c=f32(rsin2_c),
+        cosa_cn=f32(cosa_cn),
+        rsin2_cn=f32(rsin2_cn),
     )

@@ -420,3 +420,71 @@ def halo_spec(n: int, h: int) -> HaloSpec:
         corner_mask=corner_mask,
         src_face_x=fx, src_j_x=jx, src_i_x=ix,
     )
+
+
+# ---------------------------------------------------------------------------
+# Shared-edge twins (staggered boundary entries duplicated across faces)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=8)
+def edge_twins(n: int):
+    """Every face-boundary staggered wind entry exists TWICE in the global
+    (u [6, n+1, n], v [6, n, n+1]) arrays - once per adjacent face.  Both
+    copies are prognosed independently and stay equal only through
+    identical stencils + rounding ("shared-edge drift").  This builds the
+    twin pairing numerically: boundary entries are matched by physical
+    edge-midpoint position, and the relative sign is the dot product of
+    the local tangent directions (+-1 exactly, since tangents along a
+    shared edge are colinear).
+
+    Returns (idx_a, idx_b, sign): flat indices into concat(u.flat, v.flat)
+    and the sign such that value_b == sign * value_a physically."""
+    u_count = NFACES * (n + 1) * n
+    dxi = (np.pi / 2) / n
+    cen = (np.arange(n) + 0.5) * dxi - np.pi / 4
+    edge = np.array([-np.pi / 4, np.pi / 4])
+
+    def tangent(f, xi, eta, which):
+        c_, a_, b_ = FACE_FRAMES[f]
+        t1 = np.tan(xi)[..., None]
+        t2 = np.tan(eta)[..., None]
+        p = c_ + t1 * a_ + t2 * b_
+        nrm2 = np.sum(p * p, axis=-1, keepdims=True)
+        vec = a_ if which == "x" else b_
+        e = (vec - np.sum(vec * p, -1, keepdims=True) * p / nrm2)
+        return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+    entries = []  # (pos, dir, flat_idx)
+    for f in range(NFACES):
+        # u rows j=0 (eta=-pi/4) and j=n: positions (xi=cen, eta=edge)
+        for jj, eta in ((0, edge[0]), (n, edge[1])):
+            xi = cen
+            pos = face_point(f, xi, np.full_like(xi, eta))
+            dirs = tangent(f, xi, np.full_like(xi, eta), "x")
+            for i in range(n):
+                flat = (f * (n + 1) + jj) * n + i
+                entries.append((pos[i], dirs[i], flat))
+        # v cols i=0 and i=n: positions (xi=edge, eta=cen)
+        for ii, xi in ((0, edge[0]), (n, edge[1])):
+            eta = cen
+            pos = face_point(f, np.full_like(eta, xi), eta)
+            dirs = tangent(f, np.full_like(eta, xi), eta, "y")
+            for j in range(n):
+                flat = u_count + (f * n + j) * (n + 1) + ii
+                entries.append((pos[j], dirs[j], flat))
+
+    by_pos = {}
+    for pos, d, flat in entries:
+        key = tuple(np.round(pos, 9))
+        by_pos.setdefault(key, []).append((d, flat))
+    idx_a, idx_b, sgn = [], [], []
+    for key, pair in by_pos.items():
+        assert len(pair) == 2, f"edge midpoint shared by {len(pair)}"
+        (da, fa), (db, fb) = pair
+        dot = float(np.dot(da, db))
+        assert abs(abs(dot) - 1.0) < 1e-9, dot
+        idx_a.append(fa)
+        idx_b.append(fb)
+        sgn.append(int(np.round(dot)))
+    return (np.asarray(idx_a), np.asarray(idx_b),
+            np.asarray(sgn, np.int8))

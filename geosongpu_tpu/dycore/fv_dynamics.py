@@ -42,10 +42,12 @@ class DycoreContext(NamedTuple):
 
 
 def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
-                  bk: np.ndarray) -> DycoreContext:
+                  bk: np.ndarray, phis: np.ndarray = None) -> DycoreContext:
+    """phis: optional unpadded [6, n, n] surface geopotential (terrain in
+    the PGF - both hydrostatic and NH regimes); None = flat."""
     return DycoreContext(
         ops=build_halo_ops(config.npx, config.halo),
-        metrics=padded_metrics(grid),
+        metrics=padded_metrics(grid, phis=phis),
         ak=jnp.asarray(ak),
         bk=jnp.asarray(bk),
         config=config,
@@ -130,7 +132,9 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     mfy_acc = jnp.zeros_like(state.mfy)
     uc = vc = None
 
-    has_q = q is not None
+    has_q = q is not None and q.shape[-1] > 0
+    if not has_q:
+        q = None
     z_tracer = cfg.z_tracer and has_q  # accumulated-flux tracer transport
     substep_tracers = has_q and not z_tracer
     nonhydro = not cfg.hydrostatic
@@ -279,6 +283,16 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     # w/delz are prognosed in NH mode (advected in d_sw, implicit vertical
     # solve per acoustic substep, p' fed back into the horizontal PGF);
     # hydrostatic mode carries them passively.
+    if nonhydro and cfg.w_sponge_p > 0.0:
+        # model-top Rayleigh sponge on w (FV3's fast w damping role):
+        # upward-propagating acoustic/gravity waves are absorbed instead
+        # of reflecting off the rigid model top
+        pe_s = interfaces_from_delp(delp, cfg.ptop)
+        pm_s = 0.5 * (pe_s[..., 1:] + pe_s[..., :-1])
+        fac = jnp.where(pm_s < cfg.w_sponge_p,
+                        jnp.float32(np.exp(-cfg.dt / cfg.w_sponge_tau)),
+                        1.0)
+        w = w * fac
     w_out = w if nonhydro else state.w
     delz_out = delz if nonhydro else state.delz
 
@@ -299,7 +313,8 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     omga = cum - 0.5 * conv
 
     return DycoreState(
-        u=u, v=v, delp=delp, pt=pt, q=q,
+        u=u, v=v, delp=delp, pt=pt,
+        q=q if has_q else state.q,  # preserve an empty [..., 0] tracer dim
         w=w_out, delz=delz_out, phis=state.phis,
         ps=ps,
         omga=omga,

@@ -71,11 +71,48 @@ class PaddedMetrics(NamedTuple):
     rdy: jnp.ndarray
     rdxc: jnp.ndarray
     rdyc: jnp.ndarray
+    cosa_c: jnp.ndarray   # [6, N, N, 1] center non-orthogonality
+    rsin2_c: jnp.ndarray
+    cosa_cn: jnp.ndarray  # [6, N+1, N+1, 1] corner non-orthogonality
+    rsin2_cn: jnp.ndarray
+    phis: jnp.ndarray     # [6, N, N, 1] surface geopotential (terrain)
+    # cube-corner center->corner interpolation weights: at the 8 cube
+    # corners only 3 cells meet, so the plain 4-point average counts a
+    # duplicated diagonal cell (grid.corner_mask); these weights drop the
+    # masked quadrant(s) - FV3's a2b one-sided corner treatment, written
+    # as metric arrays so it survives Pallas J-tiling unchanged
+    cw00: jnp.ndarray     # [6, N+1, N+1, 1] weight of the (j-1, i-1) cell
+    cw01: jnp.ndarray
+    cw10: jnp.ndarray
+    cw11: jnp.ndarray
+    rcw: jnp.ndarray      # 1 / (sum of weights)
 
 
-def padded_metrics(grid: Grid) -> PaddedMetrics:
+def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
+    """phis: optional UNPADDED surface geopotential [6, n, n] (terrain);
+    padded here via the scalar gather table.  None = flat."""
     a = lambda x: jnp.asarray(x)[..., None]
     r = lambda x: (1.0 / jnp.asarray(x))[..., None]
+    import numpy as np
+    if phis is None:
+        phis_pad = np.zeros(grid.area.shape, np.float32)
+    else:
+        flat = np.asarray(phis, np.float32).reshape(-1)
+        phis_pad = flat[grid.spec.gidx_x]
+    # corner-aware center->corner weights from the unownable-corner mask
+    cm = np.pad(np.asarray(grid.corner_mask, bool),
+                ((0, 0), (1, 1), (1, 1)), mode="edge")
+    q00 = cm[:, :-1, :-1]
+    q01 = cm[:, :-1, 1:]
+    q10 = cm[:, 1:, :-1]
+    q11 = cm[:, 1:, 1:]
+    w00, w01 = (~q00).astype(np.float32), (~q01).astype(np.float32)
+    w10, w11 = (~q10).astype(np.float32), (~q11).astype(np.float32)
+    wsum = w00 + w01 + w10 + w11
+    deep = wsum == 0  # all 4 cells in corner blocks: keep the plain avg
+    for w in (w00, w01, w10, w11):
+        w[deep] = 1.0
+    wsum[deep] = 4.0
     ap = jnp.pad(jnp.asarray(grid.area), ((0, 0), (1, 1), (1, 1)), mode="edge")
     area_c = 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
     return PaddedMetrics(
@@ -95,6 +132,13 @@ def padded_metrics(grid: Grid) -> PaddedMetrics:
         rdy=r(grid.dy),
         rdxc=r(grid.dxc),
         rdyc=r(grid.dyc),
+        cosa_c=a(grid.cosa_c),
+        rsin2_c=a(grid.rsin2_c),
+        cosa_cn=a(grid.cosa_cn),
+        rsin2_cn=a(grid.rsin2_cn),
+        phis=a(phis_pad),
+        cw00=a(w00), cw01=a(w01), cw10=a(w10), cw11=a(w11),
+        rcw=a(1.0 / wsum),
     )
 
 
@@ -173,6 +217,16 @@ def _center_to_corner(a):
     return 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
 
 
+def _center_to_corner_w(a, m: PaddedMetrics):
+    """Center -> corner average that drops duplicated cube-corner
+    quadrants (weights from PaddedMetrics; == _center_to_corner away from
+    the 8 cube corners)."""
+    ap = _pad_edge(_pad_edge(a, 1), 2)
+    s = (m.cw00 * ap[:, :-1, :-1] + m.cw01 * ap[:, :-1, 1:]
+         + m.cw10 * ap[:, 1:, :-1] + m.cw11 * ap[:, 1:, 1:])
+    return s * m.rcw
+
+
 def _vorticity_abs(pu, pv, m: PaddedMetrics):
     """Absolute vorticity at cell centers (primal-cell circulation)."""
     circ = (pu[:, :-1, :] * m.dx[:, :-1, :]
@@ -224,7 +278,10 @@ def c_sw_part1(s: SWState, m: PaddedMetrics, dt2: float):
     fy_t = upwind_flux(s.pt_y, cry, axis=1) * fy_m
     pt_h = (s.pt_x * s.pd_x + (ddx(fx_t) + ddy(fy_t)) * m.rarea) / delp_h
 
-    ke = 0.5 * (ua * ua + va * va)
+    # contravariant KE: |V|^2 = rsin2 (u^2 + v^2 - 2 cosa u v) from the
+    # covariant center winds (locally-orthogonal form dropped the cosa
+    # cross term - an O(sin 9 deg) error near face corners)
+    ke = 0.5 * m.rsin2_c * (ua * ua + va * va - 2.0 * m.cosa_c * ua * va)
     vort = _vorticity_abs(s.pu, s.pv, m)
     return uc, vc, delp_h, pt_h, ke, vort
 
@@ -272,9 +329,10 @@ def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float):
     metrically consistent on the non-orthogonal gnomonic grid (FV3's
     ut/vt contravariant conversion)."""
     uc, vc, delp_h, pt_h, ke, vort = c_sw_part1(s, m, dt2)
-    # backward PGF from half-updated fields; compact C-grid gradients
+    # backward PGF from half-updated fields; compact C-grid gradients;
+    # phis adds the terrain contribution (zero for flat experiments)
     pkz, phi = _hydrostatic_fields(delp_h, pt_h, ptop)
-    return c_sw_part2(uc, vc, pt_h, pkz, phi, ke, vort, m, dt2)
+    return c_sw_part2(uc, vc, pt_h, pkz, phi + m.phis, ke, vort, m, dt2)
 
 
 # --------------------------------------------------------------------------
@@ -383,22 +441,25 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
     outside - vertically coupled).  nh_fields: optional
     (pprime, phiprime, rho1) cell-centered NH perturbations.
     Returns (u_new, v_new) padded."""
-    phi_c = _center_to_corner(phi_mid)
-    pkz_c = _center_to_corner(pkz)
-    pt_c = _center_to_corner(pt_new)
+    phi_c = _center_to_corner_w(phi_mid, m)
+    pkz_c = _center_to_corner_w(pkz, m)
+    pt_c = _center_to_corner_w(pt_new, m)
     nonhydro = nh_fields is not None
     if nonhydro:
         pprime, phiprime, rho1 = nh_fields
-        php_c = _center_to_corner(phiprime)
-        pp_c = _center_to_corner(pprime)
-        rho_c = _center_to_corner(rho1)
+        php_c = _center_to_corner_w(phiprime, m)
+        pp_c = _center_to_corner_w(pprime, m)
+        rho_c = _center_to_corner_w(rho1, m)
 
     # ---- KE (corners, centered winds) + vorticity + divergence ----------
     ub = 0.5 * (uct[:, :-1, :] + uct[:, 1:, :])   # corner [6, N-1, N+1, K]
     ub = _pad_edge(ub, 1)
     vb = 0.5 * (vct[:, :, :-1] + vct[:, :, 1:])   # corner [6, N+1, N-1, K]
     vb = _pad_edge(vb, 2)
-    ke_c = 0.5 * (ub * ub + vb * vb)              # [6, N+1, N+1, K]
+    # |V|^2 from NORMAL components: rsin2 (ub^2 + vb^2 + 2 cosa ub vb)
+    # (normal comps are sina x contravariant, hence the + cross term)
+    ke_c = 0.5 * m.rsin2_cn * (ub * ub + vb * vb
+                               + 2.0 * m.cosa_cn * ub * vb)
 
     vort_abs = _vorticity_abs(s.pu, s.pv, m)      # centers
 
@@ -522,7 +583,7 @@ def d_sw_substep(
     pkz, phi_mid = _hydrostatic_fields(delp_new, pt_new, ptop)
 
     u_new, v_new = wind_part(s, m, uct, vct, crx, cry, pt_new, pkz,
-                             phi_mid, nh_fields, dt, hord, d2_bg)
+                             phi_mid + m.phis, nh_fields, dt, hord, d2_bg)
 
     return SubstepOut(
         u=u_new[isliceu],

@@ -197,6 +197,7 @@ def d_sw_substep_pallas(
 
     # ---- vertical glue: hydrostatic integrals of the half state ---------
     pkz_h, phi_h = _hydrostatic_fields(delp_h, pt_h, ptop)
+    phi_h = phi_h + m.phis   # terrain (zero for flat experiments)
 
     # ---- kernel 2: c_sw part 2 (time-centered advective winds) ----------
     def k2(uc, vc, pt_h, pkz, phi, ke, vort, *mets):
@@ -284,6 +285,7 @@ def d_sw_substep_pallas(
         nh_fields = None
 
     pkz, phi_mid = _hydrostatic_fields(delp_new, pt_new, ptop)
+    phi_mid = phi_mid + m.phis
 
     # ---- kernel 4: D-grid wind update -----------------------------------
     def k4(pu, pv, uct, vct, crx, cry, pt_new, pkz, phi, *rest):

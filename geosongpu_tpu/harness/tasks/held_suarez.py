@@ -205,6 +205,16 @@ class HeldSuarez(TaskBase):
         # archive artifacts + report
         os.makedirs(env.artifact_directory, exist_ok=True)
         rep = report(all_records)
+        # cite the committed per-kernel roofline artifact when present
+        import geosongpu_tpu
+
+        roots = glob.glob(os.path.join(
+            os.path.dirname(os.path.dirname(
+                os.path.abspath(geosongpu_tpu.__file__))),
+            "results", "roofline_r*.json"))
+        if roots:
+            rep += ("\nper-kernel roofline (measured device time, "
+                    f"%HBM/%VPU): {sorted(roots)[-1]}")
         out = os.path.join(env.artifact_directory, "report_benchmark.out")
         with open(out, "w") as f:
             f.write(rep + "\n")

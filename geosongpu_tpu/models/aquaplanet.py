@@ -151,8 +151,14 @@ def build_model(config: DycoreConfig) -> AquaplanetModel:
         return dataclasses.replace(state, u=u, v=v, pt=pt, q=q)
 
     def step(state: DycoreState) -> DycoreState:
+        from ..parallel.halo import symmetrize_shared_edges
+
         state = fv_dynamics_step(state, ctx)
-        return physics(state)
+        state = physics(state)
+        if config.edge_symmetrize:
+            u, v = symmetrize_shared_edges(state.u, state.v)
+            state = dataclasses.replace(state, u=u, v=v)
+        return state
 
     return AquaplanetModel(
         config=config,

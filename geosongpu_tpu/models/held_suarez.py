@@ -74,10 +74,14 @@ def build_model(config: DycoreConfig) -> HeldSuarezModel:
     def step(state: DycoreState) -> DycoreState:
         import dataclasses
 
+        from ..parallel.halo import symmetrize_shared_edges
+
         state = fv_dynamics_step(state, ctx)
         u, v, pt = held_suarez_forcing(
             state.u, state.v, state.pt, state.delp, lats, config.ptop,
             config.dt)
+        if config.edge_symmetrize:
+            u, v = symmetrize_shared_edges(u, v)
         return dataclasses.replace(state, u=u, v=v, pt=pt)
 
     return HeldSuarezModel(

@@ -495,3 +495,23 @@ def build_halo_ops(n: int, h: int) -> HaloOps:
         stag_u_recipes=tuple(_build_stag_recipes(spec)[0]),
         stag_v_recipes=tuple(_build_stag_recipes(spec)[1]),
     )
+
+
+def symmetrize_shared_edges(u: jax.Array, v: jax.Array):
+    """Average the two independently-prognosed copies of every shared
+    face-boundary staggered wind entry (cheap insurance against
+    shared-edge rounding drift; both copies are equal in exact
+    arithmetic).  u [6, n+1, n, ...], v [6, n, n+1, ...]."""
+    from ..core.topology import edge_twins
+
+    n = u.shape[2]
+    idx_a, idx_b, sgn = edge_twins(n)
+    trail = u.shape[3:]
+    uf = u.reshape((-1,) + trail)
+    vf = v.reshape((-1,) + trail)
+    flat = jnp.concatenate([uf, vf], axis=0)
+    s = jnp.asarray(sgn, u.dtype).reshape((-1,) + (1,) * len(trail))
+    mean = 0.5 * (flat[idx_a] + s * flat[idx_b])
+    flat = flat.at[idx_a].set(mean).at[idx_b].set(s * mean)
+    nu = uf.shape[0]
+    return (flat[:nu].reshape(u.shape), flat[nu:].reshape(v.shape))

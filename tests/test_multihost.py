@@ -37,7 +37,8 @@ from geosongpu_tpu.parallel.subtile import (SubtileLayout,
                                             stack_blocks)
 from geosongpu_tpu.physics.held_suarez import held_suarez_forcing
 
-cfg = DycoreConfig(npx=8, npz=6, dt=600.0, n_split=2, halo=3)
+cfg = DycoreConfig(npx=8, npz=6, dt=600.0, n_split=2, halo=3,
+                   edge_symmetrize=False)
 model = build_model(cfg)
 state = model.init(perturb=1e-3)
 ref = model.step_fn(state)   # single-(local-)device reference

@@ -157,3 +157,33 @@ def test_nh_pprime_feeds_horizontal_momentum():
     assert float(jnp.abs(sh.u).max()) == 0.0
     # NH: overpressure in the bump accelerates air out of it
     assert float(jnp.abs(sn.u).max()) > 1e-4
+
+
+def test_w_sponge_damps_model_top():
+    """NH model-top sponge: with w_sponge_p set, top-layer |w| after a
+    step is strictly smaller than without (and the troposphere is
+    untouched by more than the damping factor)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from geosongpu_tpu.core.config import DycoreConfig
+    from geosongpu_tpu.models.held_suarez import build_model
+
+    base = DycoreConfig(npx=12, npz=10, dt=600.0, n_split=4,
+                        hydrostatic=False, ntracers=0)
+    m0 = build_model(base)
+    m1 = build_model(dataclasses.replace(base, w_sponge_p=5000.0,
+                                         w_sponge_tau=600.0))
+    s = m0.init(perturb=0.5)
+    a = m0.step_fn(s)
+    b = m1.step_fn(s)
+    wa = np.abs(np.asarray(a.w))
+    wb = np.abs(np.asarray(b.w))
+    # top layer damped by ~exp(-1)
+    top_a, top_b = wa[..., 0].max(), wb[..., 0].max()
+    assert top_b < 0.75 * top_a, (top_a, top_b)
+    # bottom layers (p >> sponge) unchanged
+    np.testing.assert_allclose(wa[..., -1], wb[..., -1], rtol=1e-6,
+                               atol=1e-8)

@@ -20,11 +20,15 @@ from geosongpu_tpu.models.held_suarez import build_model
 # regenerated 2026-08-17 (x2): contravariant advective winds (cosa/sina),
 # then PPM-upwinded vorticity flux + top sponge - deliberate numerics
 # improvements, each verified by the stability suite
+# regenerated 2026-08-20: contravariant KE (center + corner cosa cross
+# terms), terrain-capable PGF (phis = 0 here), shared-edge
+# symmetrization - deliberate metric-completeness improvements (verified
+# by the balanced-flow convergence + mountain tests)
 GOLDEN = {
-    "u": (4.460906e+02, 7.626364e+02),
-    "v": (-2.220309e+01, 6.766070e+02),
-    "delp": (8.631423e+07, 8.631423e+07),
-    "pt": (6.951886e+06, 6.951886e+06),
+    "u": (4.564092e+02, 7.659806e+02),
+    "v": (-1.728407e+01, 6.666940e+02),
+    "delp": (8.631396e+07, 8.631396e+07),
+    "pt": (6.951879e+06, 6.951879e+06),
 }
 RTOL = 5e-4  # f32 run-to-run reassociation noise bound
 
