@@ -76,16 +76,19 @@ class PaddedMetrics(NamedTuple):
     cosa_cn: jnp.ndarray  # [6, N+1, N+1, 1] corner non-orthogonality
     rsin2_cn: jnp.ndarray
     phis: jnp.ndarray     # [6, N, N, 1] surface geopotential (terrain)
-    # cube-corner center->corner interpolation weights: at the 8 cube
-    # corners only 3 cells meet, so the plain 4-point average counts a
-    # duplicated diagonal cell (grid.corner_mask); these weights drop the
-    # masked quadrant(s) - FV3's a2b one-sided corner treatment, written
-    # as metric arrays so it survives Pallas J-tiling unchanged
-    cw00: jnp.ndarray     # [6, N+1, N+1, 1] weight of the (j-1, i-1) cell
+    # cube-corner center->corner interpolation: at the 8 cube corners
+    # only 3 cells meet, so the plain 4-point average counts a duplicated
+    # diagonal cell (grid.corner_mask).  cw* mark the masked quadrant(s)
+    # (0/1) and rcw = 1/(4 - n_masked); the correction form
+    #   avg4 + (k avg4 - masked_sum) * rcw
+    # is EXACTLY avg4 on uniform fields (well-balancedness preserved to
+    # the bit) and the k-cell mean elsewhere - FV3's one-sided a2b corner
+    # role, written as metric arrays so Pallas J-tiling is unaffected
+    cw00: jnp.ndarray     # [6, N+1, N+1, 1] 1 if (j-1, i-1) cell masked
     cw01: jnp.ndarray
     cw10: jnp.ndarray
     cw11: jnp.ndarray
-    rcw: jnp.ndarray      # 1 / (sum of weights)
+    rcw: jnp.ndarray      # 1 / (4 - n_masked)
 
 
 def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
@@ -99,20 +102,19 @@ def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
     else:
         flat = np.asarray(phis, np.float32).reshape(-1)
         phis_pad = flat[grid.spec.gidx_x]
-    # corner-aware center->corner weights from the unownable-corner mask
+    # corner-aware center->corner masks from the unownable-corner mask
     cm = np.pad(np.asarray(grid.corner_mask, bool),
                 ((0, 0), (1, 1), (1, 1)), mode="edge")
-    q00 = cm[:, :-1, :-1]
-    q01 = cm[:, :-1, 1:]
-    q10 = cm[:, 1:, :-1]
-    q11 = cm[:, 1:, 1:]
-    w00, w01 = (~q00).astype(np.float32), (~q01).astype(np.float32)
-    w10, w11 = (~q10).astype(np.float32), (~q11).astype(np.float32)
-    wsum = w00 + w01 + w10 + w11
-    deep = wsum == 0  # all 4 cells in corner blocks: keep the plain avg
+    w00 = cm[:, :-1, :-1].astype(np.float32)
+    w01 = cm[:, :-1, 1:].astype(np.float32)
+    w10 = cm[:, 1:, :-1].astype(np.float32)
+    w11 = cm[:, 1:, 1:].astype(np.float32)
+    k = w00 + w01 + w10 + w11
+    deep = k >= 4  # all 4 cells in corner blocks: keep the plain avg
     for w in (w00, w01, w10, w11):
-        w[deep] = 1.0
-    wsum[deep] = 4.0
+        w[deep] = 0.0
+    k[deep] = 0.0
+    wsum = 4.0 - k  # rcw denominator
     ap = jnp.pad(jnp.asarray(grid.area), ((0, 0), (1, 1), (1, 1)), mode="edge")
     area_c = 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
     return PaddedMetrics(
@@ -219,12 +221,16 @@ def _center_to_corner(a):
 
 def _center_to_corner_w(a, m: PaddedMetrics):
     """Center -> corner average that drops duplicated cube-corner
-    quadrants (weights from PaddedMetrics; == _center_to_corner away from
-    the 8 cube corners)."""
+    quadrants (masks from PaddedMetrics; == _center_to_corner away from
+    the 8 cube corners, and EXACTLY the plain average on uniform fields -
+    the well-balanced rest state stays bit-zero)."""
     ap = _pad_edge(_pad_edge(a, 1), 2)
-    s = (m.cw00 * ap[:, :-1, :-1] + m.cw01 * ap[:, :-1, 1:]
-         + m.cw10 * ap[:, 1:, :-1] + m.cw11 * ap[:, 1:, 1:])
-    return s * m.rcw
+    a00, a01 = ap[:, :-1, :-1], ap[:, :-1, 1:]
+    a10, a11 = ap[:, 1:, :-1], ap[:, 1:, 1:]
+    avg4 = 0.25 * (a00 + a01 + a10 + a11)
+    msum = (m.cw00 * a00 + m.cw01 * a01 + m.cw10 * a10 + m.cw11 * a11)
+    k = m.cw00 + m.cw01 + m.cw10 + m.cw11
+    return avg4 + (k * avg4 - msum) * m.rcw
 
 
 def _vorticity_abs(pu, pv, m: PaddedMetrics):
