@@ -171,12 +171,18 @@ def measure_phases(model, state, inner: int = 30,
         tr_t = _chain_time(stage_transport, (st0.pd_x, st0.pd_y),
                            inner=inner)
         delp_n, pt_n = stage_transport(st0.pd_x, st0.pd_y)
-        pkz_n, phi_n = _hydrostatic_fields(delp_n, pt_n, cfg.ptop)
+        h_ = ops.h
+        isl = (slice(None), slice(h_, h_ + ops.ny), slice(h_, h_ + ops.nx))
 
         @jax.jit
         def stage_wind(pu, pv):
             st = st0._replace(pu=pu, pv=pv)
-            return wind_part(st, m, uct, vct, crx, cry, pt_n, pkz_n,
+            # post-transport re-fill + hydrostatic fields belong to the
+            # wind stage of the production substep (sw.d_sw_substep)
+            dfp = ops.fill(delp_n[isl], "x")
+            ptf = ops.fill(pt_n[isl], "x")
+            pkz_n, phi_n = _hydrostatic_fields(dfp, ptf, cfg.ptop)
+            return wind_part(st, m, uct, vct, crx, cry, ptf, pkz_n,
                              phi_n, None, dt_ac, cfg.hord, cfg.d2_bg)
 
         wind_t = _chain_time(stage_wind, (st0.pu, st0.pv), inner=inner)

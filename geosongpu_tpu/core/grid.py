@@ -107,6 +107,46 @@ class Grid:
     rsin2_c: np.ndarray  # 1/sin^2 at centers
     cosa_cn: np.ndarray  # [6, N+1, N+1] at cell corners
     rsin2_cn: np.ndarray
+    # halo wind-component basis correction [6, N, N] each: halo cells store
+    # the NEIGHBOR's covariant components (signed-permutation relabeled by
+    # the fill); stencils that average them with interior values mix bases
+    # across the face-edge kink - an O(1) error in the C-grid advective
+    # winds (measured ~0.4-2.5 m/s on the balanced jet at c24, vs 1e-3
+    # interior; scripts/edge_probe.py).  These matrices re-express the
+    # stored components in OUR face's analytically-extended basis at the
+    # true cell-center point:  (ua, va)_ours = R (ua, va)_stored.
+    # Stored as deltas from identity (dr11 = r11 - 1, etc., exact zeros in
+    # the interior) so applying them preserves interior values bit-exactly.
+    dr11: np.ndarray
+    r12: np.ndarray
+    r21: np.ndarray
+    dr22: np.ndarray
+    # halo A-grid resampling onto extended-chart gridpoints [6, N, N] each:
+    # after the basis rotation, W/E-halo samples sit shifted ALONG the
+    # edge (exact in xi, off in eta) and S/N-halo mirrored; one static
+    # 3-point Lagrange resample per off-grid coordinate re-attaches them
+    # to our gridpoints.  Stored as deltas (identity = exact zeros in the
+    # interior):  a += jwm (a[j-1] - a) + jwp (a[j+1] - a), then along i
+    # (deviation form: bit-zero on uniform fields; w0 = 1 - wm - wp).
+    jwm: np.ndarray
+    jwp: np.ndarray
+    iwm: np.ndarray
+    iwp: np.ndarray
+    # extended-CHART center-to-center spacings [6, N, N+1] / [6, N+1, N]:
+    # distances between our chart's gridpoints (where resampled samples
+    # live), for C-grid gradients; equals dxc/dyc in the interior but
+    # differs across face edges, where dxc follows the physical
+    # (kinked) center chord instead of the chart's xi/eta line
+    dxc_c: np.ndarray
+    dyc_c: np.ndarray
+    # geometry-exact center->corner interpolation corrections [4, 6, N+1, N+1]:
+    # weight deltas (w_k - 1/4) of the min-norm linear-exact interpolation of
+    # the 4 surrounding padded centers onto the TRUE corner point (order
+    # 00, 01, 10, 11 = SW, SE, NW, NE cell).  Zero where the plain 4-point
+    # average is already linear-exact; O(1) corrections across the face-edge
+    # metric kinks and at the 8 three-cell cube corners (FV3's one-sided
+    # a2b/fill_corners role, precomputed as static data)
+    corner_dw: np.ndarray
 
     @property
     def interior(self):
@@ -122,6 +162,86 @@ def _gather_padded(vals_ffi: np.ndarray, spec: HaloSpec) -> np.ndarray:
     n = spec.n
     flat = vals_ffi.reshape(NFACES * n * n, *vals_ffi.shape[3:])
     return flat[spec.gidx_x]
+
+
+def _corner_positions_padded(spec: HaloSpec, corners: np.ndarray) -> np.ndarray:
+    """Exact positions of every padded corner slot [6, N+1, N+1, 3].
+
+    Corner slot (J, I) is the SW corner of padded cell (J, I) (row/col N:
+    the N/E corner of the last cell).  The owning cell comes from the
+    x-order halo table; our (-1/2, -1/2) corner displacement maps into the
+    owner's frame through the transposed signed permutation (signed perms
+    are orthogonal), selecting which of the owner's 4 exact corners this
+    slot is.  Unlike averaged approximations this is exact arbitrarily deep
+    into the halo, including inside the cube-corner blocks."""
+    n, h = spec.n, spec.h
+    N = n + 2 * h
+    J, I = np.meshgrid(np.arange(N + 1), np.arange(N + 1), indexing="ij")
+    cJ = np.minimum(J, N - 1)
+    cI = np.minimum(I, N - 1)
+    oy = (J - cJ) - 0.5  # -0.5 (SW corner of the cell) or +0.5 (last row)
+    ox = (I - cI) - 0.5
+    cpos = np.zeros((NFACES, N + 1, N + 1, 3))
+    for f in range(NFACES):
+        f2 = spec.src_face_x[f, cJ, cI]
+        j2 = spec.src_j_x[f, cJ, cI]
+        i2 = spec.src_i_x[f, cJ, cI]
+        sw = spec.vswap_x[f, cJ, cI]
+        sy = spec.vsy_x[f, cJ, cI].astype(np.float64)
+        sx = spec.vsx_x[f, cJ, cI].astype(np.float64)
+        # theirs = T^T ours (module docstring of topology.py)
+        ty = np.where(sw, sx * ox, sy * oy)
+        tx = np.where(sw, sy * oy, sx * ox)
+        jj = j2 + (ty > 0)
+        ii = i2 + (tx > 0)
+        cpos[f] = corners[f2, jj, ii]
+    # self-check: the interior block must reproduce the exact face corners
+    assert np.allclose(cpos[:, h:h + n + 1, h:h + n + 1], corners,
+                       atol=1e-12), "corner position table inconsistent"
+    return cpos
+
+
+def _corner_interp_dw(cpos: np.ndarray, pos_pad: np.ndarray) -> np.ndarray:
+    """Min-norm linear-exact center->corner interpolation weight deltas.
+
+    For each corner point c with surrounding padded cell centers p_k
+    (k = 00, 01, 10, 11, edge-clamped like sw._center_to_corner_w), solve
+        min ||w||^2  s.t.  sum w = 1,  sum w (p_k - c) . t_{1,2} = 0
+    in the tangent plane at c: the unique weights closest to the plain
+    average that interpolate linear fields exactly.  On a symmetric
+    (interior-like) cross this IS the plain average; across face-edge
+    kinks and at the 8 cube corners (duplicated diagonal cell) it yields
+    the one-sided correction FV3 hand-codes in a2b_ord4/fill_corners.
+    Returns dw = w - 1/4, shape [4, 6, N+1, N+1], zeros snapped."""
+    pp = np.pad(pos_pad, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    P = np.stack([pp[:, :-1, :-1], pp[:, :-1, 1:],
+                  pp[:, 1:, :-1], pp[:, 1:, 1:]], axis=-2)  # [6,N+1,N+1,4,3]
+    d = P - cpos[..., None, :]
+    z = cpos
+    helper = np.where(np.abs(z[..., :1]) < 0.9,
+                      np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]))
+    t1 = np.cross(z, helper)
+    t1 /= np.linalg.norm(t1, axis=-1, keepdims=True)
+    t2 = np.cross(z, t1)
+    x = np.sum(d * t1[..., None, :], -1)  # [6, N+1, N+1, 4]
+    y = np.sum(d * t2[..., None, :], -1)
+    s = np.maximum(np.mean(np.hypot(x, y), axis=-1, keepdims=True), 1e-30)
+    x = x / s
+    y = y / s
+    A = np.stack([np.ones_like(x), x, y], axis=-2)  # [.., 3, 4]
+    M = A @ np.swapaxes(A, -1, -2)
+    det = np.linalg.det(M)
+    ok = np.abs(det) > 1e-9
+    Msafe = np.where(ok[..., None, None], M, np.eye(3))
+    b = np.zeros(M.shape[:-1])
+    b[..., 0] = 1.0
+    lam = np.linalg.solve(Msafe, b[..., None])
+    w = (np.swapaxes(A, -1, -2) @ lam)[..., 0]
+    good = ok[..., None] & (np.abs(w).max(-1, keepdims=True) < 3.0)
+    w = np.where(good, w, 0.25)
+    dw = w - 0.25
+    dw[np.abs(dw) < 1e-7] = 0.0
+    return np.moveaxis(dw, -1, 0)
 
 
 def _gather_staggered(u_like: np.ndarray, v_like: np.ndarray, spec: HaloSpec):
@@ -186,82 +306,183 @@ def build_grid(n: int, h: int = 3) -> Grid:
     lon = np.arctan2(pos_pad[..., 1], pos_pad[..., 0])
     fcor = 2 * OMEGA * pos_pad[..., 2]
 
-    # --- non-orthogonality at the staggered flux points ------------------
-    def _basis_cos(f, xi, eta):
-        """cos(angle between local xi and eta directions) at (xi, eta)."""
-        c_, a_, b_ = __import__(
-            "geosongpu_tpu.core.topology", fromlist=["FACE_FRAMES"]
-        ).FACE_FRAMES[f]
-        t1 = np.tan(xi)[..., None]
-        t2 = np.tan(eta)[..., None]
-        p = c_ + t1 * a_ + t2 * b_
-        nrm2 = np.sum(p * p, axis=-1, keepdims=True)
-        # d/dxi of normalize(p): sec^2(xi) * (a - (a.p) p / |p|^2) / |p|
-        sec1 = (1.0 + np.tan(xi) ** 2)[..., None]
-        sec2 = (1.0 + np.tan(eta) ** 2)[..., None]
-        e1 = sec1 * (a_ - np.sum(a_ * p, -1, keepdims=True) * p / nrm2)
-        e2 = sec2 * (b_ - np.sum(b_ * p, -1, keepdims=True) * p / nrm2)
-        e1 /= np.linalg.norm(e1, axis=-1, keepdims=True)
-        e2 /= np.linalg.norm(e2, axis=-1, keepdims=True)
+    # --- basis directions of OUR face's analytically-extended chart ------
+    # The equiangular gnomonic chart extends smoothly past the face edge
+    # (tan is defined beyond pi/4); every wind-carrying stencil treats the
+    # padded array as samples of ONE chart, so all basis-angle metrics are
+    # evaluated in that chart at the TRUE physical point of each slot.
+    from .topology import FACE_FRAMES
+
+    def _basis_at(f, q):
+        """Unit tangent vectors (e1, e2) of face f's chart at unit
+        point(s) q [..., 3] (front hemisphere of the face)."""
+        _, a_, b_ = FACE_FRAMES[f]
+        e1 = a_ - np.sum(a_ * q, -1, keepdims=True) * q
+        e2 = b_ - np.sum(b_ * q, -1, keepdims=True) * q
+        e1 = e1 / np.linalg.norm(e1, axis=-1, keepdims=True)
+        e2 = e2 / np.linalg.norm(e2, axis=-1, keepdims=True)
+        return e1, e2
+
+    def _cos_at(f, q):
+        e1, e2 = _basis_at(f, q)
         return np.sum(e1 * e2, axis=-1)
 
-    # unpadded staggered-point cosa: x-interfaces (v-points) and
-    # y-interfaces (u-points)
-    cosa_vp = np.zeros((NFACES, n, n + 1))
-    cosa_up = np.zeros((NFACES, n + 1, n))
-    CJ, SI = np.meshgrid(c, s, indexing="ij")
-    SJ, CI = np.meshgrid(s, c, indexing="ij")
+    # true flux-point positions: x-interface (v-point / W-E edge midpoint)
+    # and y-interface (u-point / S-N edge midpoint), padded exactly via the
+    # staggered tables (points are orientation-free)
+    ymid = corners[:, :, :-1] + corners[:, :, 1:]
+    ymid /= np.linalg.norm(ymid, axis=-1, keepdims=True)   # u-points [6,n+1,n,3]
+    xmid = corners[:, :-1, :] + corners[:, 1:, :]
+    xmid /= np.linalg.norm(xmid, axis=-1, keepdims=True)   # v-points [6,n,n+1,3]
+    upos = np.stack([_gather_staggered(ymid[..., k], xmid[..., k], spec)[0]
+                     for k in range(3)], axis=-1)
+    vpos = np.stack([_gather_staggered(ymid[..., k], xmid[..., k], spec)[1]
+                     for k in range(3)], axis=-1)
+    cosa_i_pad = np.zeros((NFACES, N, N + 1))
+    cosa_j_pad = np.zeros((NFACES, N + 1, N))
+    cosa_c = np.zeros((NFACES, N, N))
+    cpos = _corner_positions_padded(spec, corners)
+    cosa_cn = np.zeros((NFACES, N + 1, N + 1))
     for f in range(NFACES):
-        cosa_vp[f] = _basis_cos(f, SI, CJ)
-        cosa_up[f] = _basis_cos(f, CI, SJ)
-    # pad via the staggered tables with the pseudo-scalar sign sgn_t*sgn_n
-    stag_flat = np.concatenate([cosa_up.reshape(-1), cosa_vp.reshape(-1)])
-    cosa_j_pad = stag_flat[spec.u_idx] * (spec.u_sgn * spec.u_sgn_n)
-    cosa_i_pad = stag_flat[spec.v_idx] * (spec.v_sgn * spec.v_sgn_n)
+        cosa_i_pad[f] = _cos_at(f, vpos[f])
+        cosa_j_pad[f] = _cos_at(f, upos[f])
+        cosa_c[f] = _cos_at(f, pos_pad[f])
+        cosa_cn[f] = _cos_at(f, cpos[f])
     rsina_i = 1.0 / np.sqrt(np.maximum(1.0 - cosa_i_pad ** 2, 0.25))
     rsina_j = 1.0 / np.sqrt(np.maximum(1.0 - cosa_j_pad ** 2, 0.25))
-
-    # cell-CENTER cosa (for the contravariant KE |V|^2 = rsin2 (u^2 + v^2
-    # - 2 cosa u v) from covariant comps; FV3's sin_sg/rsin2 role): halo
-    # values carry the pseudo-scalar parity vsy*vsx of the frame change,
-    # because halo winds are stored as relabeled neighbor components
-    cosa_cc = np.zeros((NFACES, n, n))
-    CJ2, CI2 = np.meshgrid(c, c, indexing="ij")
-    for f in range(NFACES):
-        cosa_cc[f] = _basis_cos(f, CI2, CJ2)
-    cosa_c = cosa_cc.reshape(-1)[spec.gidx_x] * (
-        spec.vsy_x * spec.vsx_x).astype(np.float64)
     rsin2_c = 1.0 / np.maximum(1.0 - cosa_c ** 2, 0.25)
-
-    # cell-CORNER cosa (for the corner KE from C-grid normal comps:
-    # |V|^2 = rsin2 (ub^2 + vb^2 + 2 cosa ub vb)): interior corners exact,
-    # halo corners from the padded center values (consumed only within
-    # stencil reach of the interior)
-    cosa_cn = 0.25 * (np.pad(cosa_c, ((0, 0), (1, 1), (1, 1)), mode="edge")
-                      [:, :-1, :-1]
-                      + np.pad(cosa_c, ((0, 0), (1, 1), (1, 1)),
-                               mode="edge")[:, :-1, 1:]
-                      + np.pad(cosa_c, ((0, 0), (1, 1), (1, 1)),
-                               mode="edge")[:, 1:, :-1]
-                      + np.pad(cosa_c, ((0, 0), (1, 1), (1, 1)),
-                               mode="edge")[:, 1:, 1:])
-    SJ2, SI2 = np.meshgrid(s, s, indexing="ij")
-    for f in range(NFACES):
-        cosa_cn[f, h:h + n + 1, h:h + n + 1] = _basis_cos(f, SI2, SJ2)
     rsin2_cn = 1.0 / np.maximum(1.0 - cosa_cn ** 2, 0.25)
 
-    # corner Coriolis from interface positions: build padded corner z by
-    # gathering per-face corner grids is overkill; interior corners are exact,
-    # halo corners approximated from center average (used only via vorticity
-    # in halo, which d_sw does not consume beyond depth 1).
-    zc = np.zeros((NFACES, N + 1, N + 1))
-    # average of 4 surrounding padded centers (clipped at boundaries)
-    zp = pos_pad[..., 2]
-    zpad = np.pad(zp, ((0, 0), (1, 1), (1, 1)), mode="edge")
-    zc = 0.25 * (zpad[:, :-1, :-1] + zpad[:, :-1, 1:] + zpad[:, 1:, :-1] + zpad[:, 1:, 1:])
-    # overwrite interior corners with exact values
-    zc[:, h : h + n + 1, h : h + n + 1] = corners[..., 2]
-    fcor_c = 2 * OMEGA * zc
+    # --- halo wind basis correction R (see Grid docstring) ---------------
+    # stored halo components are the OWNER's covariant components relabeled
+    # by the fill's signed permutation; R re-expresses them as covariant
+    # components in OUR extended chart at the same physical point:
+    #   V = co'_x e'^x + co'_y e'^y   (owner dual basis),
+    #   co_ours,i = E_i . V,   then compose with the inverse relabeling.
+    r11 = np.ones((NFACES, N, N))
+    r12 = np.zeros((NFACES, N, N))
+    r21 = np.zeros((NFACES, N, N))
+    r22 = np.ones((NFACES, N, N))
+    for f in range(NFACES):
+        f2 = spec.src_face_x[f]
+        remote = f2 != f
+        if not remote.any():
+            continue
+        q = pos_pad[f]                       # true point of every slot
+        E1, E2 = _basis_at(f, q)             # our extended basis
+        # owner basis at its own center (exact: owner cells are interior)
+        b1 = np.zeros((N, N, 3))
+        b2 = np.zeros((N, N, 3))
+        for g in np.unique(f2[remote]):
+            mg = f2 == g
+            g1, g2 = _basis_at(g, q[mg])
+            b1[mg], b2[mg] = g1, g2
+        cosg = np.sum(b1 * b2, axis=-1, keepdims=True)
+        s2 = np.maximum(1.0 - cosg ** 2, 1e-6)
+        d1 = (b1 - cosg * b2) / s2           # owner dual basis e'^x
+        d2 = (b2 - cosg * b1) / s2           # e'^y
+        C11 = np.sum(E1 * d1, -1)
+        C12 = np.sum(E1 * d2, -1)
+        C21 = np.sum(E2 * d1, -1)
+        C22 = np.sum(E2 * d2, -1)
+        # invert the relabeling P (ours = P theirs, topology.py docstring):
+        # no swap: their_x = vsx u_s, their_y = vsy v_s
+        # swap:    their_x = vsy v_s, their_y = vsx u_s
+        sw = spec.vswap_x[f]
+        sy = spec.vsy_x[f].astype(np.float64)
+        sx = spec.vsx_x[f].astype(np.float64)
+        r11[f] = np.where(remote, np.where(sw, C12 * sx, C11 * sx), 1.0)
+        r12[f] = np.where(remote, np.where(sw, C11 * sy, C12 * sy), 0.0)
+        r21[f] = np.where(remote, np.where(sw, C22 * sx, C21 * sx), 0.0)
+        r22[f] = np.where(remote, np.where(sw, C21 * sy, C22 * sy), 1.0)
+
+    # --- halo A-grid resampling onto extended-chart gridpoints -----------
+    # After the basis rotation the halo components are in our chart, but
+    # they are SAMPLES AT THE NEIGHBOR'S CENTERS.  In our extended chart a
+    # W/E-halo center lies exactly on the extended xi gridline but shifted
+    # ALONG the edge in eta (mirror symmetry: the reflection that maps the
+    # neighbor's grid onto our extension preserves xi = const great
+    # circles and stretches eta by tan(pi/4 - alpha)); S/N-halo mirrors in
+    # xi.  The midpoint average onto the shared edge then reads the wind
+    # half a cell off along the edge - an O(h) error at ONE interface
+    # column, i.e. an O(1) flux-divergence error at edge cells (measured:
+    # flat 1.4e-3 Pa/s d(delp)/dt edge RMS across c12-c48).  Fix: one
+    # static 3-point Lagrange resample along the off-grid coordinate,
+    # identity (exact zeros) in the interior.
+    xi_s = np.arctan2(np.einsum("fijk,fk->fij", pos_pad,
+                                np.stack([FACE_FRAMES[f][1] for f in range(NFACES)])),
+                      np.einsum("fijk,fk->fij", pos_pad,
+                                np.stack([FACE_FRAMES[f][0] for f in range(NFACES)])))
+    eta_s = np.arctan2(np.einsum("fijk,fk->fij", pos_pad,
+                                 np.stack([FACE_FRAMES[f][2] for f in range(NFACES)])),
+                       np.einsum("fijk,fk->fij", pos_pad,
+                                 np.stack([FACE_FRAMES[f][0] for f in range(NFACES)])))
+    c_ext, _ = _local_coords(n, h)  # extended-chart center coords, length N
+    xi_g = np.broadcast_to(c_ext[None, None, :], (NFACES, N, N))
+    eta_g = np.broadcast_to(c_ext[None, :, None], (NFACES, N, N))
+    tol = 1e-9
+    on_xi = np.abs(xi_s - xi_g) < tol
+    on_eta = np.abs(eta_s - eta_g) < tol
+
+    def _lagrange3(t, tm, t0, tp):
+        """Quadratic Lagrange weights for samples at (tm, t0, tp)
+        evaluated at t (denominators guarded; degenerate slots are
+        discarded by the caller's `good` mask)."""
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wm = (t - t0) * (t - tp) / ((tm - t0) * (tm - tp))
+            w0 = (t - tm) * (t - tp) / ((t0 - tm) * (t0 - tp))
+            wp = (t - tm) * (t - t0) / ((tp - tm) * (tp - t0))
+        return (np.nan_to_num(wm), np.nan_to_num(w0), np.nan_to_num(wp))
+
+    jwm = np.zeros((NFACES, N, N))
+    jwp = np.zeros((NFACES, N, N))
+    iwm = np.zeros((NFACES, N, N))
+    iwp = np.zeros((NFACES, N, N))
+    # W/E halo: xi on-grid, eta shifted -> resample along j (not at the
+    # outermost rows, where a centered 3-pt stencil has no neighbors)
+    sel_j = on_xi & ~on_eta
+    sel_j[:, 0, :] = False
+    sel_j[:, -1, :] = False
+    if sel_j.any():
+        em = np.roll(eta_s, 1, axis=1)
+        ep = np.roll(eta_s, -1, axis=1)
+        wm, w0, wp = _lagrange3(eta_g, em, eta_s, ep)
+        # only trust the stencil when the 3 samples are distinct and ordered
+        good = sel_j & (em < eta_s - tol) & (eta_s < ep - tol)
+        jwm[good], jwp[good] = wm[good], wp[good]
+    # S/N halo: eta on-grid, xi shifted -> resample along i
+    sel_i = on_eta & ~on_xi
+    sel_i[:, :, 0] = False
+    sel_i[:, :, -1] = False
+    if sel_i.any():
+        xm = np.roll(xi_s, 1, axis=2)
+        xp = np.roll(xi_s, -1, axis=2)
+        wm, w0, wp = _lagrange3(xi_g, xm, xi_s, xp)
+        good = sel_i & (xm < xi_s - tol) & (xi_s < xp - tol)
+        iwm[good], iwp[good] = wm[good], wp[good]
+
+    # extended-chart center-to-center spacings (identical on every face);
+    # interior entries copied from dxc so in-face values stay bit-identical
+    # cpts[j, i] = chart point at (xi_i, eta_j)
+    cpts = face_point(0, np.broadcast_to(c_ext[None, :], (N, N)),
+                      np.broadcast_to(c_ext[:, None], (N, N)))
+    dxc_c = dxc.copy()
+    d_in = _gc_dist(cpts[:, :-1], cpts[:, 1:]) * RADIUS  # [N, N-1]
+    dxc_c[:, :, 1:N] = d_in[None, :, :]
+    dyc_c = dyc.copy()
+    d_in = _gc_dist(cpts[:-1, :], cpts[1:, :]) * RADIUS
+    dyc_c[:, 1:N, :] = d_in[None, :, :]
+    # keep the physical dxc wherever it matches (bit-identical interior)
+    same = np.abs(dxc_c - dxc) < 1e-6 * cell
+    dxc_c = np.where(same, dxc, dxc_c)
+    same = np.abs(dyc_c - dyc) < 1e-6 * cell
+    dyc_c = np.where(same, dyc, dyc_c)
+
+    # corner Coriolis: exact everywhere from the padded corner positions
+    fcor_c = 2 * OMEGA * cpos[..., 2]
+
+    # geometry-exact corner interpolation corrections (see _corner_interp_dw)
+    corner_dw = _corner_interp_dw(cpos, pos_pad)
 
     f32 = lambda a: np.asarray(a, dtype=np.float32)
     return Grid(
@@ -279,6 +500,14 @@ def build_grid(n: int, h: int = 3) -> Grid:
         fcor=f32(fcor),
         fcor_c=f32(fcor_c),
         corner_mask=spec.corner_mask,
+        corner_dw=f32(corner_dw),
+        dr11=f32(r11 - 1.0),
+        r12=f32(r12),
+        r21=f32(r21),
+        dr22=f32(r22 - 1.0),
+        jwm=f32(jwm), jwp=f32(jwp),
+        iwm=f32(iwm), iwp=f32(iwp),
+        dxc_c=f32(dxc_c), dyc_c=f32(dyc_c),
         cosa_i=f32(cosa_i_pad),
         rsina_i=f32(rsina_i),
         cosa_j=f32(cosa_j_pad),

@@ -76,19 +76,43 @@ class PaddedMetrics(NamedTuple):
     cosa_cn: jnp.ndarray  # [6, N+1, N+1, 1] corner non-orthogonality
     rsin2_cn: jnp.ndarray
     phis: jnp.ndarray     # [6, N, N, 1] surface geopotential (terrain)
-    # cube-corner center->corner interpolation: at the 8 cube corners
-    # only 3 cells meet, so the plain 4-point average counts a duplicated
-    # diagonal cell (grid.corner_mask).  cw* mark the masked quadrant(s)
-    # (0/1) and rcw = 1/(4 - n_masked); the correction form
-    #   avg4 + (k avg4 - masked_sum) * rcw
-    # is EXACTLY avg4 on uniform fields (well-balancedness preserved to
-    # the bit) and the k-cell mean elsewhere - FV3's one-sided a2b corner
-    # role, written as metric arrays so Pallas J-tiling is unaffected
-    cw00: jnp.ndarray     # [6, N+1, N+1, 1] 1 if (j-1, i-1) cell masked
-    cw01: jnp.ndarray
-    cw10: jnp.ndarray
-    cw11: jnp.ndarray
-    rcw: jnp.ndarray      # 1 / (4 - n_masked)
+    # geometry-exact center->corner interpolation (grid.corner_dw): weight
+    # deltas w_k - 1/4 of the min-norm linear-exact interpolation of the 4
+    # surrounding centers onto the TRUE corner point.  Applied as
+    #   avg4 + sum_k dw_k (a_k - avg4)
+    # which is bit-exactly avg4 on uniform fields (well-balancedness
+    # preserved) and linear-exact otherwise - zero in the symmetric face
+    # interior, O(1) across face-edge metric kinks and at the 8 three-cell
+    # cube corners (FV3's one-sided a2b/fill_corners role as static data,
+    # so Pallas J-tiling is unaffected)
+    dw00: jnp.ndarray     # [6, N+1, N+1, 1] delta for cell (j-1, i-1)
+    dw01: jnp.ndarray
+    dw10: jnp.ndarray
+    dw11: jnp.ndarray
+    # halo wind-basis correction (grid.dr11...): halo cells store the
+    # neighbor's relabeled covariant components; stencils averaging them
+    # with interior values mix bases across the face-edge kink (measured
+    # 0.4-2.5 m/s C-grid wind error on the balanced jet; the dominant
+    # face-edge imbalance).  Applied once on the A-grid winds as
+    #   ua += dr11 ua + r12 va ;  va += r21 ua + dr22 va
+    # (identity deltas are exact zeros in the interior -> interior values
+    # bit-preserved).  FV3's d2a2c_vect Cartesian edge treatment, as four
+    # static fields.
+    dr11: jnp.ndarray     # [6, N, N, 1]
+    r12: jnp.ndarray
+    r21: jnp.ndarray
+    dr22: jnp.ndarray
+    # halo A-grid resampling deltas (grid.jwm...): re-attach rotated halo
+    # samples to OUR extended-chart gridpoints (they sit shifted along the
+    # edge otherwise - an O(1) mass-flux-divergence error at edge cells)
+    jwm: jnp.ndarray      # [6, N, N, 1]
+    jwp: jnp.ndarray
+    iwm: jnp.ndarray
+    iwp: jnp.ndarray
+    # extended-chart center spacings (grid.dxc_c): reciprocals, for the
+    # C-grid gradients of chart-resampled fields; == rdxc/rdyc interior
+    rdxc_c: jnp.ndarray   # [6, N, N+1, 1]
+    rdyc_c: jnp.ndarray   # [6, N+1, N, 1]
 
 
 def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
@@ -102,19 +126,6 @@ def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
     else:
         flat = np.asarray(phis, np.float32).reshape(-1)
         phis_pad = flat[grid.spec.gidx_x]
-    # corner-aware center->corner masks from the unownable-corner mask
-    cm = np.pad(np.asarray(grid.corner_mask, bool),
-                ((0, 0), (1, 1), (1, 1)), mode="edge")
-    w00 = cm[:, :-1, :-1].astype(np.float32)
-    w01 = cm[:, :-1, 1:].astype(np.float32)
-    w10 = cm[:, 1:, :-1].astype(np.float32)
-    w11 = cm[:, 1:, 1:].astype(np.float32)
-    k = w00 + w01 + w10 + w11
-    deep = k >= 4  # all 4 cells in corner blocks: keep the plain avg
-    for w in (w00, w01, w10, w11):
-        w[deep] = 0.0
-    k[deep] = 0.0
-    wsum = 4.0 - k  # rcw denominator
     ap = jnp.pad(jnp.asarray(grid.area), ((0, 0), (1, 1), (1, 1)), mode="edge")
     area_c = 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
     return PaddedMetrics(
@@ -139,8 +150,13 @@ def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
         cosa_cn=a(grid.cosa_cn),
         rsin2_cn=a(grid.rsin2_cn),
         phis=a(phis_pad),
-        cw00=a(w00), cw01=a(w01), cw10=a(w10), cw11=a(w11),
-        rcw=a(1.0 / wsum),
+        dw00=a(grid.corner_dw[0]), dw01=a(grid.corner_dw[1]),
+        dw10=a(grid.corner_dw[2]), dw11=a(grid.corner_dw[3]),
+        dr11=a(grid.dr11), r12=a(grid.r12),
+        r21=a(grid.r21), dr22=a(grid.dr22),
+        jwm=a(grid.jwm), jwp=a(grid.jwp),
+        iwm=a(grid.iwm), iwp=a(grid.iwp),
+        rdxc_c=r(grid.dxc_c), rdyc_c=r(grid.dyc_c),
     )
 
 
@@ -219,18 +235,35 @@ def _center_to_corner(a):
     return 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
 
 
+def _resample_to_chart(a, m: PaddedMetrics):
+    """Re-attach halo cell-center samples to OUR extended-chart gridpoints
+    (3-point Lagrange along the off-grid coordinate; identity - exact
+    zeros - in the interior).  Written in deviation form
+    a + wm (a[-1] - a) + wp (a[+1] - a), which equals the Lagrange
+    combination exactly (w0 = 1 - wm - wp) while staying BIT-ZERO on
+    uniform fields - the well-balanced rest state is preserved exactly.
+    See PaddedMetrics.jwm / grid.Grid.jwm."""
+    am = _pad_edge(a, 1, before=1, after=0)[:, :-1]
+    ap = _pad_edge(a, 1, before=0, after=1)[:, 1:]
+    a = a + (m.jwm * (am - a) + m.jwp * (ap - a))
+    am = _pad_edge(a, 2, before=1, after=0)[:, :, :-1]
+    ap = _pad_edge(a, 2, before=0, after=1)[:, :, 1:]
+    return a + (m.iwm * (am - a) + m.iwp * (ap - a))
+
+
 def _center_to_corner_w(a, m: PaddedMetrics):
-    """Center -> corner average that drops duplicated cube-corner
-    quadrants (masks from PaddedMetrics; == _center_to_corner away from
-    the 8 cube corners, and EXACTLY the plain average on uniform fields -
-    the well-balanced rest state stays bit-zero)."""
+    """Geometry-exact center -> corner interpolation: the plain 4-point
+    average plus the precomputed linear-exactness correction
+    sum_k dw_k (a_k - avg4) (see PaddedMetrics.dw00).  Bit-exactly the
+    plain average on uniform fields (each a_k - avg4 is exactly zero in
+    f32), so the well-balanced rest state stays bit-zero; linear-exact at
+    the TRUE corner position across face-edge kinks and cube corners."""
     ap = _pad_edge(_pad_edge(a, 1), 2)
     a00, a01 = ap[:, :-1, :-1], ap[:, :-1, 1:]
     a10, a11 = ap[:, 1:, :-1], ap[:, 1:, 1:]
     avg4 = 0.25 * (a00 + a01 + a10 + a11)
-    msum = (m.cw00 * a00 + m.cw01 * a01 + m.cw10 * a10 + m.cw11 * a11)
-    k = m.cw00 + m.cw01 + m.cw10 + m.cw11
-    return avg4 + (k * avg4 - msum) * m.rcw
+    return avg4 + (m.dw00 * (a00 - avg4) + m.dw01 * (a01 - avg4)
+                   + m.dw10 * (a10 - avg4) + m.dw11 * (a11 - avg4))
 
 
 def _vorticity_abs(pu, pv, m: PaddedMetrics):
@@ -266,6 +299,16 @@ def c_sw_part1(s: SWState, m: PaddedMetrics, dt2: float):
     hydrostatic integrals of (delp_h, pt_h) happen outside."""
     ua = _avg_u_to_center(s.pu)
     va = _avg_v_to_center(s.pv)
+    # re-express halo components in OUR extended chart (see
+    # PaddedMetrics.dr11; exact zeros in the interior keep interior
+    # values bit-identical), then resample them onto our extended-chart
+    # gridpoints (PaddedMetrics.jwm): halo samples sit shifted along the
+    # edge otherwise, an O(h) wind error at the shared interface that
+    # becomes an O(1) mass-flux-divergence error at edge cells
+    ua, va = (ua + (m.dr11 * ua + m.r12 * va),
+              va + (m.r21 * ua + m.dr22 * va))
+    ua = _resample_to_chart(ua, m)
+    va = _resample_to_chart(va, m)
     uc = _center_to_xiface(ua)              # [6, N, N+1, K]
     vc = _center_to_yiface(va)              # [6, N+1, N, K]
     # transverse coordinate components at the interfaces
@@ -295,12 +338,25 @@ def c_sw_part1(s: SWState, m: PaddedMetrics, dt2: float):
 def c_sw_part2(uc, vc, pt_h, pkz, phi, ke, vort, m: PaddedMetrics,
                dt2: float):
     """Interface wind update from the half-updated PGF -> time-centered
-    advective winds (uc*, vc*).  Horizontal only."""
+    advective winds (uc*, vc*).  Horizontal only.
+
+    All cell-centered inputs are first resampled onto the extended-chart
+    gridpoints and differenced with the CHART spacings (rdxc_c/rdyc_c):
+    without this, the gradient at a shared-edge interface runs along the
+    kinked physical center chord (the edge normal) while every other
+    interface differences along the chart's xi/eta line - a flat O(1)
+    imbalance at face edges that does not converge with resolution
+    (measured in scripts/edge_probe.py; interior bits unchanged)."""
+    pt_h = _resample_to_chart(pt_h, m)
+    pkz = _resample_to_chart(pkz, m)
+    phi = _resample_to_chart(phi, m)
+    ke = _resample_to_chart(ke, m)
+    vort = _resample_to_chart(vort, m)
     # x-interface update (interior interfaces [1, N-1]; edges left unchanged)
     ptx = 0.5 * (pt_h[:, :, :-1] + pt_h[:, :, 1:])
     gx = ((phi[:, :, 1:] - phi[:, :, :-1])
-          + CP_AIR * ptx * (pkz[:, :, 1:] - pkz[:, :, :-1])) * m.rdxc[:, :, 1:-1]
-    kex = (ke[:, :, 1:] - ke[:, :, :-1]) * m.rdxc[:, :, 1:-1]
+          + CP_AIR * ptx * (pkz[:, :, 1:] - pkz[:, :, :-1])) * m.rdxc_c[:, :, 1:-1]
+    kex = (ke[:, :, 1:] - ke[:, :, :-1]) * m.rdxc_c[:, :, 1:-1]
     vortx = 0.5 * (vort[:, :, :-1] + vort[:, :, 1:])
     # vc at the x-interface: average 4 surrounding y-interface values
     vcx = 0.25 * (vc[:, :-1, :-1] + vc[:, :-1, 1:]
@@ -315,8 +371,8 @@ def c_sw_part2(uc, vc, pt_h, pkz, phi, ke, vort, m: PaddedMetrics,
     # y-interface update
     pty = 0.5 * (pt_h[:, :-1, :] + pt_h[:, 1:, :])
     gy = ((phi[:, 1:, :] - phi[:, :-1, :])
-          + CP_AIR * pty * (pkz[:, 1:, :] - pkz[:, :-1, :])) * m.rdyc[:, 1:-1, :]
-    key = (ke[:, 1:, :] - ke[:, :-1, :]) * m.rdyc[:, 1:-1, :]
+          + CP_AIR * pty * (pkz[:, 1:, :] - pkz[:, :-1, :])) * m.rdyc_c[:, 1:-1, :]
+    key = (ke[:, 1:, :] - ke[:, :-1, :]) * m.rdyc_c[:, 1:-1, :]
     vorty = 0.5 * (vort[:, :-1, :] + vort[:, 1:, :])
     ucy = 0.25 * (uc[:, :-1, :-1] + uc[:, :-1, 1:]
                   + uc[:, 1:, :-1] + uc[:, 1:, 1:])
@@ -565,6 +621,16 @@ def d_sw_substep(
     # a lagged p' leaves an O(dt_acoustic) force error that visibly
     # detunes the NH run from the hydrostatic limit) ----------------------
     nonhydro = s.pz_x is not None
+    # ---- re-fill the transported fields' halos before the backward PGF:
+    # the transport stencil exhausts the inbound halo, so delp_new/pt_new
+    # halo cells are invalid - the corner interpolation feeding the PGF
+    # would read them, an O(1) error at on-edge corners whose x/y
+    # difference then DIVERGES ~1/h with resolution (measured: the entire
+    # edge-band imbalance at c48 sits in the first interior column,
+    # 1.7e-4 vs 7e-6 one column in).  FV3 likewise halo-updates pk/gz
+    # before its p_grad stage.
+    delp_f = ops.fill(delp_new[islice], "x")
+    pt_f = ops.fill(pt_new[islice], "x")
     if nonhydro:
         from .nh_solver import vertical_acoustic_solve
 
@@ -580,15 +646,16 @@ def d_sw_substep(
         # clamp above)
         delz_new = jnp.maximum(delz_new, 1.0)
         w_new = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
-        nh_fields = nh_perturbation_fields(delp_new, pt_new, delz_new, ptop)
+        delz_f = ops.fill(delz_new[islice], "x")
+        nh_fields = nh_perturbation_fields(delp_f, pt_f, delz_f, ptop)
     else:
         w_new = delz_new = None
         nh_fields = None
 
     # ---- hydrostatic PGF fields from updated mass/temperature (backward)
-    pkz, phi_mid = _hydrostatic_fields(delp_new, pt_new, ptop)
+    pkz, phi_mid = _hydrostatic_fields(delp_f, pt_f, ptop)
 
-    u_new, v_new = wind_part(s, m, uct, vct, crx, cry, pt_new, pkz,
+    u_new, v_new = wind_part(s, m, uct, vct, crx, cry, pt_f, pkz,
                              phi_mid + m.phis, nh_fields, dt, hord, d2_bg)
 
     return SubstepOut(

@@ -267,6 +267,11 @@ def d_sw_substep_pallas(
     else:
         q_new = None
 
+    # ---- re-fill transported halos before the backward PGF (the
+    # transport stencil exhausts them; see sw.d_sw_substep) --------------
+    delp_f = ops.fill(delp_new[islice], "x")
+    pt_f = ops.fill(pt_new[islice], "x")
+
     # ---- vertical glue: NH implicit solve + perturbation fields ---------
     if nonhydro:
         from .nh_solver import vertical_acoustic_solve
@@ -279,12 +284,13 @@ def d_sw_substep_pallas(
             w_if, delz_adv, pt_new, delp_new, dt, ptop)
         delz_new = jnp.maximum(delz_new, 1.0)
         w_new = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
-        nh_fields = nh_perturbation_fields(delp_new, pt_new, delz_new, ptop)
+        delz_f = ops.fill(delz_new[islice], "x")
+        nh_fields = nh_perturbation_fields(delp_f, pt_f, delz_f, ptop)
     else:
         w_new = delz_new = None
         nh_fields = None
 
-    pkz, phi_mid = _hydrostatic_fields(delp_new, pt_new, ptop)
+    pkz, phi_mid = _hydrostatic_fields(delp_f, pt_f, ptop)
     phi_mid = phi_mid + m.phis
 
     # ---- kernel 4: D-grid wind update -----------------------------------
@@ -300,7 +306,7 @@ def d_sw_substep_pallas(
         return wind_part(st, _metrics_from(mets), uct, vct, crx, cry,
                          pt_new, pkz, phi, nh, dt, hord, d2_bg)
 
-    w_in = [s.pu, s.pv, uct, vct, crx, cry, pt_new, pkz, phi_mid]
+    w_in = [s.pu, s.pv, uct, vct, crx, cry, pt_f, pkz, phi_mid]
     if nonhydro:
         w_in += list(nh_fields)
     u_new, v_new = _face_call(

@@ -96,7 +96,13 @@ def _corner_mask(npx, rows, excl_cells_at_c12=3.0):
 
 
 def _init_tendency(npx):
-    """|du/dt| of the balanced state at t=0 (bare dycore, tiny step)."""
+    """|du/dt| of the balanced state at t=0 (bare dycore, tiny step).
+
+    Returns (far-field RMS, edge-band RMS, max): the edge band is within
+    3 cells of a face edge but outside the corner disks - the zone where
+    the face-edge consistency treatment (halo wind basis rotation + chart
+    resampling + post-transport refill, grid.py/sw.py) must hold the
+    error at the interior level."""
     from geosongpu_tpu.dycore.fv_dynamics import fv_dynamics_step
 
     cfg = DycoreConfig(npx=npx, npz=8, dt=120.0, n_split=1, d2_bg=0.0,
@@ -106,8 +112,13 @@ def _init_tendency(npx):
     s1 = jax.jit(lambda s: fv_dynamics_step(s, model.ctx))(s0)
     dudt = np.asarray(s1.u - s0.u, np.float64) / cfg.dt
     assert np.isfinite(dudt).all()
-    far = _corner_mask(npx, npx + 1)
+    rows = npx + 1
+    far = _corner_mask(npx, rows)
+    iy, ix = np.meshgrid(np.arange(rows), np.arange(npx), indexing="ij")
+    de = np.minimum.reduce([iy, rows - 1 - iy, ix, npx - 1 - ix])
+    edge = (de < 3) & far
     return (float(np.sqrt((dudt[:, far] ** 2).mean())),
+            float(np.sqrt((dudt[:, edge] ** 2).mean())),
             float(np.abs(dudt).max()))
 
 
@@ -139,17 +150,22 @@ def _drift(npx, hours=6.0):
 
 def test_balanced_flow_tendency_converges_away_from_corners():
     """The discrete imbalance tendency of the analytically-balanced state
-    must decay with resolution away from the cube corners (measured
-    ~0.67x per doubling with the contravariant KE + metric terms; the
-    corner neighborhoods themselves still carry the approximate-corner
-    error - the remaining known gap is FV3-style one-sided corner
-    stencils, tracked in ARCHITECTURE.md)."""
-    rms12, _ = _init_tendency(12)
-    rms24, _ = _init_tendency(24)
+    must decay with resolution away from the cube corners, and the
+    face-EDGE band must sit near the interior f32 floor: before the
+    face-edge consistency overhaul (halo wind basis rotation + chart
+    resampling + chart-spacing gradients + post-transport refill) the
+    edge band was FLAT at ~1.2e-4 m/s^2 across c12-c48 - an O(1)
+    inconsistency; after, measured 1.2e-5 (c12) -> 6.4e-6 (c24),
+    converging.  Gates carry ~1.5x headroom over measured."""
+    rms12, edge12, _ = _init_tendency(12)
+    rms24, edge24, _ = _init_tendency(24)
     assert rms24 < 0.85 * rms12, (rms12, rms24)
-    # and the absolute imbalance is tiny relative to the Coriolis-scale
-    # accelerations (f*U0 ~ 2e-3 m/s^2)
-    assert rms12 < 2.0e-4, rms12
+    # the edge band must converge too (it was flat pre-overhaul)
+    assert edge24 < 0.85 * edge12, (edge12, edge24)
+    # absolute levels: tiny relative to the Coriolis-scale accelerations
+    # (f*U0 ~ 2e-3 m/s^2); measured 1.8e-5 / 1.2e-5 at c12
+    assert rms12 < 3.0e-5, rms12
+    assert edge12 < 2.0e-5, edge12
 
 
 def test_balanced_flow_stays_bounded():

@@ -7,6 +7,8 @@ these f64 field fingerprints.  Regenerate *deliberately* (and say so in
 the commit message) when the discretization is intentionally improved:
 
     python -m tests.test_regression_golden
+(the __main__ block forces the CPU backend - this environment preloads
+jax on the TPU tunnel, where the fingerprints differ)
 """
 import jax
 import numpy as np
@@ -24,11 +26,16 @@ from geosongpu_tpu.models.held_suarez import build_model
 # terms), terrain-capable PGF (phis = 0 here), shared-edge
 # symmetrization - deliberate metric-completeness improvements (verified
 # by the balanced-flow convergence + mountain tests)
+# regenerated 2026-08-20 (x2): face-edge consistency overhaul - halo wind
+# basis rotation + chart resampling, chart-spacing C-grid gradients,
+# linear-exact corner interpolation, post-transport halo refill before
+# the backward PGF.  Balanced-jet edge-band imbalance drops 31x at c48
+# and now CONVERGES with resolution (tests/test_balanced_flow.py gates)
 GOLDEN = {
-    "u": (4.564092e+02, 7.659806e+02),
-    "v": (-1.728407e+01, 6.666940e+02),
-    "delp": (8.631396e+07, 8.631396e+07),
-    "pt": (6.951879e+06, 6.951879e+06),
+    "u": (4.758229e+02, 8.012368e+02),
+    "v": (-9.748890e+00, 7.014551e+02),
+    "delp": (8.631453e+07, 8.631453e+07),
+    "pt": (6.951886e+06, 6.951886e+06),
 }
 RTOL = 5e-4  # f32 run-to-run reassociation noise bound
 
@@ -60,5 +67,6 @@ def test_c12_trajectory_matches_golden():
 
 
 if __name__ == "__main__":
+    jax.config.update("jax_platforms", "cpu")
     for k, v in _fingerprints().items():
         print(f'    "{k}": ({v[0]:.6e}, {v[1]:.6e}),')
