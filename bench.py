@@ -42,7 +42,14 @@ def main() -> int:
     # gated against the jnp path in tests/test_pallas_dycore.py
     pallas = os.environ.get("BENCH_PALLAS", "1") == "1"
 
+    # hord_tm=6: unlimited PPM for delp/pt transport (FV3's production
+    # hord_tm role) - pure VPU flop reduction; gated by the 6-day
+    # stability run + climatology smoke (vorticity flux stays monotone:
+    # hord_mt=6 was measured nonlinearly unstable, matching the
+    # enstrophy notes in dycore/sw.py)
+    hord_tm = int(os.environ.get("BENCH_HORD_TM", "6"))
     cfg = DycoreConfig(npx=npx, npz=npz, dt=600.0, n_split=6,
+                       hord_tm=hord_tm,
                        pallas_dycore=pallas and
                        jax.default_backend() == "tpu")
     model = build_model(cfg)

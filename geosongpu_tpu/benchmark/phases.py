@@ -125,7 +125,8 @@ def measure_phases(model, state, inner: int = 30,
         st = fill_substep(ops, u, v, delp, pt, None)
         kw = dict(kt=cfg.pallas_kt or None) if cfg.pallas_dycore else {}
         o = sub_fn(st, m, ops, dt_ac, cfg.ptop, hord=cfg.hord,
-                   d2_bg=cfg.d2_bg, advect_tracers=False, **kw)
+                   d2_bg=cfg.d2_bg, advect_tracers=False,
+                   hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm, **kw)
         return o.u, o.v, o.delp, o.pt
 
     sub_t = _chain_time(one_substep,
@@ -165,7 +166,8 @@ def measure_phases(model, state, inner: int = 30,
         def stage_transport(pdx, pdy):
             st = st0._replace(pd_x=pdx, pd_y=pdy)
             dn, ptn, *_ = transport_part(st, m, crx, cry, xfx, yfx,
-                                         cfg.hord, False)
+                                         cfg.hord, False,
+                                         hord_tm=cfg.hord_tm)
             return dn, ptn
 
         tr_t = _chain_time(stage_transport, (st0.pd_x, st0.pd_y),
@@ -183,7 +185,8 @@ def measure_phases(model, state, inner: int = 30,
             ptf = ops.fill(pt_n[isl], "x")
             pkz_n, phi_n = _hydrostatic_fields(dfp, ptf, cfg.ptop)
             return wind_part(st, m, uct, vct, crx, cry, ptf, pkz_n,
-                             phi_n, None, dt_ac, cfg.hord, cfg.d2_bg)
+                             phi_n, None, dt_ac, cfg.hord, cfg.d2_bg,
+                             hord_mt=cfg.hord_mt)
 
         wind_t = _chain_time(stage_wind, (st0.pu, st0.pv), inner=inner)
         stage_phases = {

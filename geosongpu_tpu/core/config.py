@@ -24,7 +24,14 @@ class DycoreConfig:
     dt: float = 600.0       # physics/remap timestep [s]
     k_split: int = 1        # vertical remap loops per dt
     n_split: int = 6        # dynamics substeps per remap loop
-    hord: int = 8           # horizontal advection: 8=monotone PPM, 6=unlimited
+    hord: int = 8           # tracer horizontal advection: 8=monotone PPM,
+                            # 6=unlimited 4th-order
+    hord_mt: int = 0        # momentum/vorticity-flux PPM variant; 0 =
+                            # follow `hord`.  FV3 production runs hord_mt=6
+                            # (unlimited - the limiter is pure VPU flops and
+                            # momentum needs no monotonicity); gated by the
+                            # stability suite + climatology smoke
+    hord_tm: int = 0        # delp/pt/w/delz PPM variant; 0 = follow `hord`
     kord: int = 8           # vertical remap PPM variant (monotone)
     d2_bg: float = 0.015    # 2nd-order divergence damping coefficient
     vtx_damp: float = 0.0   # optional vorticity damping

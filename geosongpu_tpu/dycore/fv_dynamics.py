@@ -155,12 +155,14 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
         substep_fn = lambda s: d_sw_substep_pallas(
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
+            hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm,
             kt=cfg.pallas_kt or None,
             jt=cfg.pallas_jt if cfg.pallas_jt > 0 else None)
     else:
         substep_fn = lambda s: d_sw_substep(
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
-            d2_bg=cfg.d2_bg, advect_tracers=substep_tracers)
+            d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
+            hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm)
 
     zf = jnp.zeros((), jnp.float32)
 

@@ -424,31 +424,32 @@ class SubstepOut(NamedTuple):
 
 
 def transport_part(s: SWState, m: PaddedMetrics, crx, cry, xfx, yfx,
-                   hord: int, advect_tracers: bool):
+                   hord: int, advect_tracers: bool, hord_tm: int = 0):
     """All PPM transport of one substep (horizontal only, Pallas-safe):
     mass, heat, NH w (mass-weighted) / delz (volume-weighted), tracers.
 
     Returns (delp_new, pt_new, w_adv, delz_adv, q_new, mf)."""
     # the inner-update denominators are shared by every transported field:
     # compute their reciprocals once (full-size divides dominate otherwise)
+    hord_tm = hord_tm or hord
     rax = 1.0 / (m.area + ddx(xfx))
     ray = 1.0 / (m.area + ddy(yfx))
-    mf = fvtp2d(s.pd_x, s.pd_y, crx, cry, xfx, yfx, m.area, hord=hord,
+    mf = fvtp2d(s.pd_x, s.pd_y, crx, cry, xfx, yfx, m.area, hord=hord_tm,
                 rax=rax, ray=ray)
     delp_new = s.pd_x + (ddx(mf.fx) + ddy(mf.fy)) * m.rarea
     rdelp_new = 1.0 / delp_new
 
-    tf = fvtp2d(s.pt_x, s.pt_y, crx, cry, xfx, yfx, m.area, hord=hord,
+    tf = fvtp2d(s.pt_x, s.pt_y, crx, cry, xfx, yfx, m.area, hord=hord_tm,
                 mfx=mf.fx, mfy=mf.fy, rax=rax, ray=ray)
     pt_new = (s.pt_x * s.pd_x
               + (ddx(tf.fx) + ddy(tf.fy)) * m.rarea) * rdelp_new
 
     if s.pz_x is not None:
-        wf = fvtp2d(s.pw_x, s.pw_y, crx, cry, xfx, yfx, m.area, hord=hord,
+        wf = fvtp2d(s.pw_x, s.pw_y, crx, cry, xfx, yfx, m.area, hord=hord_tm,
                     mfx=mf.fx, mfy=mf.fy, rax=rax, ray=ray)
         w_adv = (s.pw_x * s.pd_x
                  + (ddx(wf.fx) + ddy(wf.fy)) * m.rarea) * rdelp_new
-        zf = fvtp2d(s.pz_x, s.pz_y, crx, cry, xfx, yfx, m.area, hord=hord,
+        zf = fvtp2d(s.pz_x, s.pz_y, crx, cry, xfx, yfx, m.area, hord=hord_tm,
                     rax=rax, ray=ray)
         delz_adv = jnp.maximum(
             s.pz_x + (ddx(zf.fx) + ddy(zf.fy)) * m.rarea, 1.0)
@@ -496,7 +497,7 @@ def nh_perturbation_fields(delp_new, pt_new, delz_new, ptop: float):
 
 def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
               pt_new, pkz, phi_mid, nh_fields, dt: float, hord: int,
-              d2_bg: float):
+              d2_bg: float, hord_mt: int = 0):
     """D-grid vector-invariant wind update (horizontal only, Pallas-safe).
 
     pkz/phi_mid: hydrostatic fields of the post-transport state (computed
@@ -540,7 +541,8 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
     # average is not enstrophy-stable: eddies amplify nonlinearly after
     # ~10 simulated days; upwinding dissipates enstrophy at the grid
     # scale, FV3's hord_vt treatment)
-    vort_u = ppm_flux(vort_abs, cry, axis=1, hord=hord)
+    hord_mt = hord_mt or hord
+    vort_u = ppm_flux(vort_abs, cry, axis=1, hord=hord_mt)
     dke_x = (ke_c[:, :, 1:] - ke_c[:, :, :-1]) * m.rdx
     pt_u = 0.5 * (pt_c[:, :, 1:] + pt_c[:, :, :-1])
     pgf_x = ((phi_c[:, :, 1:] - phi_c[:, :, :-1])
@@ -563,7 +565,7 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
          upad[:, -1:, :]], axis=1)
 
     # v-points
-    vort_v = ppm_flux(vort_abs, crx, axis=2, hord=hord)
+    vort_v = ppm_flux(vort_abs, crx, axis=2, hord=hord_mt)
     dke_y = (ke_c[:, 1:, :] - ke_c[:, :-1, :]) * m.rdy
     pt_v = 0.5 * (pt_c[:, 1:, :] + pt_c[:, :-1, :])
     pgf_y = ((phi_c[:, 1:, :] - phi_c[:, :-1, :])
@@ -596,6 +598,8 @@ def d_sw_substep(
     hord: int = 8,
     d2_bg: float = 0.015,
     advect_tracers: bool = True,
+    hord_mt: int = 0,
+    hord_tm: int = 0,
 ) -> SubstepOut:
     """One forward-backward acoustic substep on padded fields."""
     h, ny, nx = ops.h, ops.ny, ops.nx
@@ -613,7 +617,7 @@ def d_sw_substep(
 
     # ---- transport + conservative updates ------------------------------
     delp_new, pt_new, w_adv, delz_adv, q_new, mf = transport_part(
-        s, m, crx, cry, xfx, yfx, hord, advect_tracers)
+        s, m, crx, cry, xfx, yfx, hord, advect_tracers, hord_tm=hord_tm)
 
     # ---- nonhydrostatic: the implicit vertical acoustic solve, then the
     # backward NH pressure force from the SOLVED fields (FV3 order:
@@ -656,7 +660,8 @@ def d_sw_substep(
     pkz, phi_mid = _hydrostatic_fields(delp_f, pt_f, ptop)
 
     u_new, v_new = wind_part(s, m, uct, vct, crx, cry, pt_f, pkz,
-                             phi_mid + m.phis, nh_fields, dt, hord, d2_bg)
+                             phi_mid + m.phis, nh_fields, dt, hord, d2_bg,
+                             hord_mt=hord_mt)
 
     return SubstepOut(
         u=u_new[isliceu],

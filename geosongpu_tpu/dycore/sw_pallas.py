@@ -150,6 +150,8 @@ def d_sw_substep_pallas(
     hord: int = 8,
     d2_bg: float = 0.015,
     advect_tracers: bool = True,
+    hord_mt: int = 0,
+    hord_tm: int = 0,
     kt: Optional[int] = None,
     jt: Optional[int] = None,
     interpret: Optional[bool] = None,
@@ -230,7 +232,8 @@ def d_sw_substep_pallas(
                      pq_x=None, pq_y=None,
                      pw_x=pwx, pw_y=pwy, pz_x=pzx, pz_y=pzy)
         delp_new, pt_new, w_adv, delz_adv, _q, mf = transport_part(
-            st, _metrics_from(mets), crx, cry, xfx, yfx, hord, False)
+            st, _metrics_from(mets), crx, cry, xfx, yfx, hord, False,
+            hord_tm=hord_tm)
         outs = (delp_new, pt_new, mf.fx, mf.fy)
         if nonhydro:
             outs = outs + (w_adv, delz_adv)
@@ -304,7 +307,8 @@ def d_sw_substep_pallas(
         st = SWState(pu=pu, pv=pv, pd_x=None, pd_y=None, pt_x=None,
                      pt_y=None, pq_x=None, pq_y=None)
         return wind_part(st, _metrics_from(mets), uct, vct, crx, cry,
-                         pt_new, pkz, phi, nh, dt, hord, d2_bg)
+                         pt_new, pkz, phi, nh, dt, hord, d2_bg,
+                         hord_mt=hord_mt)
 
     w_in = [s.pu, s.pv, uct, vct, crx, cry, pt_f, pkz, phi_mid]
     if nonhydro:

@@ -68,3 +68,39 @@ def test_forcing_moves_t_toward_equilibrium(model):
     trop = low[np.abs(lat) < 0.3].mean()
     pole = low[np.abs(lat) > 1.1].mean()
     assert trop > pole + 1.5, (trop, pole)
+
+
+def test_hord_tm6_stable_and_close():
+    """hord_tm=6 (unlimited PPM for delp/pt transport - the benchmark
+    default, FV3's production hord_tm role) must stay stable and track
+    the monotone solution closely over a day.  hord_mt=6 is NOT offered
+    as a default: the unlimited vorticity flux was measured nonlinearly
+    unstable by day 4 (the monotone limiter supplies the enstrophy
+    dissipation; see dycore/sw.py docstring)."""
+    import jax
+
+    from geosongpu_tpu.core.config import DycoreConfig
+    from geosongpu_tpu.models.held_suarez import build_model
+
+    outs = {}
+    for htm in (0, 6):
+        cfg = DycoreConfig(npx=12, npz=16, dt=1200.0, n_split=6,
+                           hord_tm=htm)
+        m = build_model(cfg)
+        s = m.init(perturb=0.01, seed=7)
+
+        @jax.jit
+        def run(s, step=m.step_fn):
+            def body(ss, _):
+                return step(ss), None
+
+            out, _ = jax.lax.scan(body, s, None, length=72)  # 1 day
+            return out
+
+        s = run(s)
+        u = np.asarray(s.u)
+        assert np.isfinite(u).all() and np.abs(u).max() < 40.0
+        outs[htm] = np.asarray(s.pt, np.float64)
+    # the unlimited transport may differ only modestly from monotone
+    rel = np.abs(outs[6] - outs[0]).max() / np.abs(outs[0]).mean()
+    assert rel < 0.05, rel
