@@ -72,7 +72,8 @@ class ShardedFiller:
 
     def zeros(self, shape, dtype=jnp.float32) -> jax.Array:
         # mark face-varying so scan carries typecheck inside shard_map
-        return jax.lax.pvary(jnp.zeros(shape, dtype), (self.axis_name,))
+        return jax.lax.pcast(jnp.zeros(shape, dtype), self.axis_name,
+                             to="varying")
 
 
 def face_mesh(devices=None) -> Mesh:

@@ -81,14 +81,17 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
                jt: Optional[int] = None, name: Optional[str] = None):
     """pallas_call over grid (faces, K/kt).
 
-    args: list of [6, J, I, Kx] arrays (Kx == K, tiled; Kx == 1 or a
-    non-K trailing dim < kt: replicated per K-tile).  Static parameters
-    must already be closed over in `body`, which receives jnp views (with
-    the size-1 face axis kept) and returns a tuple matching out_shapes.
+    args: list of [F, J, I, Kx] arrays (Kx == K, tiled; Kx == 1 or a
+    non-K trailing dim < kt: replicated per K-tile).  F is the local face
+    (slot) count: 6 single-device / faces-local sharding, 1 inside a
+    face-sharded shard_map block.  Static parameters must already be
+    closed over in `body`, which receives jnp views (with the size-1 face
+    axis kept) and returns a tuple matching out_shapes.
     jt: J-tile row count (halo-overlapped bands); None/0 = whole face."""
     if jt and jt < min(a.shape[1] for a in args):
         return _face_call_jtiled(body, args, out_shapes, kt, interpret, jt,
                                  name=name)
+    F = args[0].shape[0]
     K = max(a.shape[-1] for a in args)
     kt = kt or K
     n_in = len(args)
@@ -120,13 +123,17 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
         for r, o in zip(refs[n_in:], outs):
             r[:] = o
 
+    # inside shard_map the outputs vary over the same mesh axes as the
+    # inputs (per-device blocks); propagate the vma so check_vma passes
+    vma = frozenset().union(*(jax.typeof(a).vma for a in args))
     return pl.pallas_call(
         kernel,
         name=name or "face_kernel",
-        grid=(6, K // kt),
+        grid=(F, K // kt),
         in_specs=[spec(a.shape) for a in args],
         out_specs=[spec(s) for s in out_shapes],
-        out_shape=[jax.ShapeDtypeStruct(s, jnp.float32) for s in out_shapes],
+        out_shape=[jax.ShapeDtypeStruct(s, jnp.float32, vma=vma)
+                   for s in out_shapes],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
@@ -166,11 +173,12 @@ def d_sw_substep_pallas(
     (CPU tests / the virtual multi-chip mesh)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    h, n = ops.h, ops.n
-    islice = (slice(None), slice(h, h + n), slice(h, h + n))
-    isliceu = (slice(None), slice(h, h + n + 1), slice(h, h + n))
-    islicev = (slice(None), slice(h, h + n), slice(h, h + n + 1))
-    N = n + 2 * h
+    h, ny, nx = ops.h, ops.ny, ops.nx
+    islice = (slice(None), slice(h, h + ny), slice(h, h + nx))
+    isliceu = (slice(None), slice(h, h + ny + 1), slice(h, h + nx))
+    islicev = (slice(None), slice(h, h + ny), slice(h, h + nx + 1))
+    F = s.pd_x.shape[0]   # 6 faces, or the local slot count under sharding
+    Ny, Nx = ny + 2 * h, nx + 2 * h
     K = s.pd_x.shape[-1]
     nonhydro = s.pz_x is not None
     nm = len(_METRIC_FIELDS)
@@ -180,9 +188,9 @@ def d_sw_substep_pallas(
         # buffered K-field windows + ~78M of body scratch for the fused
         # chain's live temporaries); metrics are squeezed 3-D (cheap)
         lanes = ((kt or K) + 127) // 128 * 128
-        per_row = 48 * (N + 2) * lanes * 4
+        per_row = 48 * (Nx + 2) * lanes * 4
         rows = (118 * 1024 * 1024) // per_row
-        jt = 0 if rows >= N else max(12, int(rows) - 2 * _JTILE_OVERLAP)
+        jt = 0 if rows >= Ny else max(12, int(rows) - 2 * _JTILE_OVERLAP)
 
     # ---- kernel 1: c_sw part 1 (C winds, half-step mass/pt, ke, vort) ---
     def k1(pu, pv, pdx, pdy, ptx, pty, *mets):
@@ -193,8 +201,8 @@ def d_sw_substep_pallas(
     uc, vc, delp_h, pt_h, ke, vort = _face_call(
         k1,
         [s.pu, s.pv, s.pd_x, s.pd_y, s.pt_x, s.pt_y] + _metrics_args(m),
-        [(6, N, N + 1, K), (6, N + 1, N, K), (6, N, N, K), (6, N, N, K),
-         (6, N, N, K), (6, N, N, K)],
+        [(F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K), (F, Ny, Nx, K),
+         (F, Ny, Nx, K), (F, Ny, Nx, K), (F, Ny, Nx, K)],
         kt, interpret, jt=jt, name="dsw_csw1")
 
     # ---- vertical glue: hydrostatic integrals of the half state ---------
@@ -215,8 +223,8 @@ def d_sw_substep_pallas(
     uct, vct, crx, cry, xfx, yfx = _face_call(
         k2,
         [uc, vc, pt_h, pkz_h, phi_h, ke, vort] + _metrics_args(m),
-        [(6, N, N + 1, K), (6, N + 1, N, K), (6, N, N + 1, K),
-         (6, N + 1, N, K), (6, N, N + 1, K), (6, N + 1, N, K)],
+        [(F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K), (F, Ny, Nx + 1, K),
+         (F, Ny + 1, Nx, K), (F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K)],
         kt, interpret, jt=jt, name="dsw_csw2")
 
     # ---- kernel 3: all PPM transport ------------------------------------
@@ -240,10 +248,11 @@ def d_sw_substep_pallas(
         return outs
 
     t_in = [s.pd_x, s.pd_y, s.pt_x, s.pt_y, crx, cry, xfx, yfx]
-    t_out = [(6, N, N, K), (6, N, N, K), (6, N, N + 1, K), (6, N + 1, N, K)]
+    t_out = [(F, Ny, Nx, K), (F, Ny, Nx, K), (F, Ny, Nx + 1, K),
+             (F, Ny + 1, Nx, K)]
     if nonhydro:
         t_in += [s.pw_x, s.pw_y, s.pz_x, s.pz_y]
-        t_out += [(6, N, N, K), (6, N, N, K)]
+        t_out += [(F, Ny, Nx, K), (F, Ny, Nx, K)]
     outs = _face_call(k3, t_in + _metrics_args(m), t_out, kt, interpret,
                       jt=jt, name="dsw_transport")
     delp_new, pt_new, mfx_pad, mfy_pad = outs[:4]
@@ -264,7 +273,7 @@ def d_sw_substep_pallas(
                 k3b,
                 [s.pq_x[..., t], s.pq_y[..., t], s.pd_x, delp_new,
                  crx, cry, xfx, yfx, mfx_pad, mfy_pad] + _metrics_args(m),
-                [(6, N, N, K)], kt, interpret, jt=jt, name="dsw_tracer")
+                [(F, Ny, Nx, K)], kt, interpret, jt=jt, name="dsw_tracer")
             qs.append(qt)
         q_new = jnp.stack(qs, axis=-1)
     else:
@@ -315,7 +324,7 @@ def d_sw_substep_pallas(
         w_in += list(nh_fields)
     u_new, v_new = _face_call(
         k4, w_in + _metrics_args(m),
-        [(6, N + 1, N, K), (6, N, N + 1, K)], kt, interpret, jt=jt,
+        [(F, Ny + 1, Nx, K), (F, Ny, Nx + 1, K)], kt, interpret, jt=jt,
         name="dsw_wind")
 
     return SubstepOut(
@@ -326,10 +335,10 @@ def d_sw_substep_pallas(
         q=None if q_new is None else q_new[islice],
         w=None if w_new is None else w_new[islice],
         delz=None if delz_new is None else delz_new[islice],
-        mfx=mfx_pad[:, h:h + n, h:h + n + 1],
-        mfy=mfy_pad[:, h:h + n + 1, h:h + n],
-        uc=uct[:, h:h + n, h:h + n + 1],
-        vc=vct[:, h:h + n + 1, h:h + n],
+        mfx=mfx_pad[:, h:h + ny, h:h + nx + 1],
+        mfy=mfy_pad[:, h:h + ny + 1, h:h + nx],
+        uc=uct[:, h:h + ny, h:h + nx + 1],
+        vc=vct[:, h:h + ny + 1, h:h + nx],
         crx_pad=crx,
         cry_pad=cry,
         xfx_pad=xfx,

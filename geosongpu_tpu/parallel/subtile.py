@@ -483,7 +483,8 @@ class SubtileFiller:
 
     def zeros(self, shape, dtype=jnp.float32) -> jax.Array:
         # mark device-varying so scan carries typecheck inside shard_map
-        return jax.lax.pvary(jnp.zeros(shape, dtype), (self.axis_name,))
+        return jax.lax.pcast(jnp.zeros(shape, dtype), self.axis_name,
+                             to="varying")
 
 
 # --------------------------------------------------------------------------
@@ -590,9 +591,11 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
     plan = build_subtile_plan(lay.n, lay.h, lay.py, lay.px,
                               lay.face_sharded)
     cfg = ctx.config
-    assert not cfg.pallas_dycore, (
-        "the fused Pallas substep path is whole-face; use the jnp path "
-        "under subtile sharding")
+    # both dycore backends shard: the fused Pallas substep kernels take
+    # rectangular (ny, nx) blocks and a local slot count F (sw_pallas
+    # _face_call grid=(F, K/kt)), so cfg.pallas_dycore runs per-block
+    # inside the shard_map exactly like the jnp path (gated equivalent on
+    # the virtual meshes in tests/test_subtile.py::test_sharded_pallas_*)
 
     spec = P(DEV_AXIS)
     from jax.sharding import NamedSharding
@@ -620,9 +623,14 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
 
     if lats_st is None:
         lats_st = _put_stacked(np.zeros((lay.ndevices, 1)), sharding)
+    # check_vma=False: interpret-mode pallas_call (the CPU-mesh test/dryrun
+    # path of the fused dycore) evaluates its discharged jaxpr with
+    # non-varying internal scalars, which the vma checker rejects (mul of
+    # varying x non-varying); correctness is gated by the single-device
+    # equivalence tests instead (tests/test_subtile.py)
     step_sm = jax.jit(jax.shard_map(
         local_step, mesh=mesh, in_specs=(spec, spec, spec),
-        out_specs=spec))
+        out_specs=spec, check_vma=False))
 
     def step(state_stacked):
         # metrics/lats ride as runtime args (jit constants would need the

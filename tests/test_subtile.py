@@ -158,6 +158,29 @@ def test_sharded_step_matches_single_device():
         assert np.abs(a - b).max() / scale < 1e-5, name
 
 
+def test_sharded_pallas_step_matches_single_device():
+    """The fused Pallas dycore under subtile sharding (interpret mode on
+    the CPU mesh): rectangular (2 x 4) blocks through the Pallas kernels
+    must match the single-device Pallas step - the reference always runs
+    decomposed AND on the DSL backend together
+    (/root/reference/src/tcn/ci/pipeline/held_suarez.py:142-218 +
+    gtfv3_config.py:13)."""
+    cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H,
+                       edge_symmetrize=False, pallas_dycore=True)
+    model, forcing = _model_pieces(cfg)
+    state = model.init(perturb=1e-3)
+    ref = model.step_fn(model.step_fn(state))
+
+    step, place, unplace = build_subtile_step(
+        model.ctx, LAY, lats=model.lats, forcing=forcing)
+    out = unplace(step(step(place(state))), N)
+    for name in ("u", "v", "delp", "pt", "ps", "omga"):
+        a = np.asarray(getattr(out, name))
+        b = np.asarray(getattr(ref, name))
+        scale = max(float(np.abs(b).max()), 1e-30)
+        assert np.abs(a - b).max() / scale < 1e-5, name
+
+
 def test_nonhydrostatic_sharded_step():
     cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H,
                        hydrostatic=False, edge_symmetrize=False)
