@@ -36,17 +36,24 @@ class Aquaplanet(TaskBase):
     # ------------------------------------------------------------------
     def _timed_run(self, env: Environment, dyc: DycoreConfig,
                    backend_name: str, steps: int, warmup: int,
-                   with_phases: bool = False):
+                   with_phases: bool = False, mesh=None):
         import jax
 
         from ...models.aquaplanet import build_model
+        from ...parallel.subtile import build_mesh_stepper
 
         model = build_model(dyc)
+        # sharded forcing = the full moist physics column on the local
+        # block (surface fluxes + shallow conv + microphysics + HS
+        # relaxation), with block-local latitudes/SST
+        place, step_fn, unplace, mesh_desc = build_mesh_stepper(
+            model, mesh, lambda s, lats_l: model.physics_fn(s, lats_l))
         rec = BenchmarkRecord(
             experiment=env.experiment_name,
             backend=backend_name,
             grid={"npx": dyc.npx, "npz": dyc.npz},
         )
+        rec.extra["mesh"] = mesh_desc
 
         sampler = None
         if env.get("HARDWARE_SAMPLING") in ("1", "true", "True"):
@@ -55,25 +62,26 @@ class Aquaplanet(TaskBase):
             sampler = Sampler(rate_s=0.1)
 
         t0 = time.perf_counter()
-        state = model.init(perturb=1e-3)
+        state = place(model.init(perturb=1e-3))
         state.u.block_until_ready()
         rec.setup_time_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         for _ in range(max(1, warmup)):
-            state = model.step_fn(state)
+            state = step_fn(state)
         state.u.block_until_ready()
         rec.compile_time_s = time.perf_counter() - t0
 
         timer = StepTimer()
         for _ in range(steps):
             timer.start()
-            state = model.step_fn(state)
+            state = step_fn(state)
             state.u.block_until_ready()
             timer.stop()
             if sampler is not None:
                 sampler.sample_once()
         rec.step_time_s = timer.times
+        state = unplace(state)  # global state for gates/archives
 
         if sampler is not None:
             dump = sampler.dump(env.CI_WORKSPACE)
@@ -84,7 +92,7 @@ class Aquaplanet(TaskBase):
             rec.energy = {"cpu_kwh": er.cpu_kwh, "tpu_kwh": er.tpu_kwh,
                           "total_kwh": er.total_kwh}
 
-        if with_phases:
+        if with_phases and mesh_desc.startswith("single-device"):
             from ...benchmark.phases import measure_phases
 
             def forcing_fn(u, v, pt, delp):
@@ -94,6 +102,10 @@ class Aquaplanet(TaskBase):
 
             rec.phase_tree = measure_phases(
                 model, state, inner=10, forcing_fn=forcing_fn).to_dict()
+        elif with_phases:
+            rec.extra["phases_note"] = (
+                "sharded run: per-phase tree not instrumented, "
+                "whole-step times only")
 
         return rec, state, model
 
@@ -119,13 +131,14 @@ class Aquaplanet(TaskBase):
             for name, dyc in pairs:
                 rec, state, model = self._timed_run(
                     env, dyc, f"{hw}:{name}", cfg.run.steps,
-                    cfg.run.warmup_steps, with_phases=True)
+                    cfg.run.warmup_steps, with_phases=True, mesh=cfg.mesh)
                 rec.save(os.path.join(
                     ws, f"benchmark_{env.experiment_name}_{name}.json"))
                 records.append(rec)
         else:
             rec, state, model = self._timed_run(
-                env, cfg.dycore, hw, cfg.run.steps, cfg.run.warmup_steps)
+                env, cfg.dycore, hw, cfg.run.steps, cfg.run.warmup_steps,
+                mesh=cfg.mesh)
             rec.save(os.path.join(ws,
                                   f"benchmark_{env.experiment_name}.json"))
             records = [rec]

@@ -39,18 +39,34 @@ class HeldSuarez(TaskBase):
     # ------------------------------------------------------------------
     def _timed_run(self, env: Environment, dyc: DycoreConfig,
                    backend_name: str, steps: int, warmup: int,
-                   with_phases: bool = False):
-        """One measured run -> (BenchmarkRecord, final state, model)."""
+                   with_phases: bool = False, mesh=None):
+        """One measured run -> (BenchmarkRecord, final state, model).
+
+        mesh: optional MeshConfig.  n_devices > 1 shards the run over the
+        subtile ppermute mesh - the layout is part of the experiment, as
+        in the reference's per-resolution rank layouts
+        (/root/reference/src/tcn/ci/pipeline/held_suarez.py:142-218)."""
         import jax
 
         from ...models.held_suarez import build_model
+        from ...parallel.subtile import build_mesh_stepper
+        from ...physics.held_suarez import held_suarez_forcing
 
         model = build_model(dyc)
+
+        def forcing(s, lats_l):
+            u, v, pt = held_suarez_forcing(s.u, s.v, s.pt, s.delp, lats_l,
+                                           dyc.ptop, dyc.dt)
+            return dataclasses.replace(s, u=u, v=v, pt=pt)
+
+        place, step_fn, unplace, mesh_desc = build_mesh_stepper(
+            model, mesh, forcing)
         rec = BenchmarkRecord(
             experiment=env.experiment_name,
             backend=backend_name,
             grid={"npx": dyc.npx, "npz": dyc.npz},
         )
+        rec.extra["mesh"] = mesh_desc
 
         sampler = None
         if env.get("HARDWARE_SAMPLING") in ("1", "true", "True"):
@@ -59,26 +75,27 @@ class HeldSuarez(TaskBase):
             sampler = Sampler(rate_s=0.1)
 
         t0 = time.perf_counter()
-        state = model.init(perturb=1e-3)
+        state = place(model.init(perturb=1e-3))
         state.u.block_until_ready()
         rec.setup_time_s = time.perf_counter() - t0
 
         # warm-up = the reference's cache-build run (JIT compile here)
         t0 = time.perf_counter()
         for _ in range(max(1, warmup)):
-            state = model.step_fn(state)
+            state = step_fn(state)
         state.u.block_until_ready()
         rec.compile_time_s = time.perf_counter() - t0
 
         timer = StepTimer()
         for _ in range(steps):
             timer.start()
-            state = model.step_fn(state)
+            state = step_fn(state)
             state.u.block_until_ready()
             timer.stop()
             if sampler is not None:
                 sampler.sample_once()
         rec.step_time_s = timer.times
+        state = unplace(state)  # global state for gates/archives
 
         if sampler is not None:
             ws = env.CI_WORKSPACE
@@ -91,9 +108,17 @@ class HeldSuarez(TaskBase):
                           "total_kwh": er.total_kwh}
 
         if with_phases:
-            from ...benchmark.phases import measure_phases
+            if mesh_desc.startswith("single-device"):
+                from ...benchmark.phases import measure_phases
 
-            rec.phase_tree = measure_phases(model, state, inner=10).to_dict()
+                rec.phase_tree = measure_phases(model, state,
+                                                inner=10).to_dict()
+            else:
+                # the phase tree instruments the single-device model fns;
+                # under sharding the whole-step timing above is the truth
+                rec.extra["phases_note"] = (
+                    "sharded run: per-phase tree not instrumented, "
+                    "whole-step times only")
 
         return rec, state, model
 
@@ -117,7 +142,7 @@ class HeldSuarez(TaskBase):
             for name, dyc in pairs:
                 rec, state, model = self._timed_run(
                     env, dyc, f"{hw}:{name}", cfg.run.steps,
-                    cfg.run.warmup_steps, with_phases=True)
+                    cfg.run.warmup_steps, with_phases=True, mesh=cfg.mesh)
                 rec.save(os.path.join(
                     ws, f"benchmark_{env.experiment_name}_{name}.json"))
                 records.append(rec)
@@ -127,7 +152,8 @@ class HeldSuarez(TaskBase):
             env.set("hs.record", records[-1])
         else:
             rec, state, model = self._timed_run(
-                env, cfg.dycore, hw, cfg.run.steps, cfg.run.warmup_steps)
+                env, cfg.dycore, hw, cfg.run.steps, cfg.run.warmup_steps,
+                mesh=cfg.mesh)
             rec.save(os.path.join(ws, f"benchmark_{env.experiment_name}.json"))
             env.set("hs.records", [rec])
             env.set("hs.record", rec)

@@ -103,10 +103,14 @@ def build_model(config: DycoreConfig) -> AquaplanetModel:
         ak, bk = hybrid_coordinate(config.npz, config.ptop)
     ctx = build_context(config, grid, ak, bk)
     lats = hs_latitudes(grid)
-    sst = sst_qobs(lats.lat_c)  # [6, n, n]
     dt = config.dt
 
-    def physics(state: DycoreState) -> DycoreState:
+    def physics(state: DycoreState,
+                lats_loc: HSLatitudes = lats) -> DycoreState:
+        # lats_loc: the block-local latitudes under subtile sharding (the
+        # SST profile derives from them, so it localizes for free; jit
+        # constant-folds the single-device case)
+        sst_loc = sst_qobs(lats_loc.lat_c)
         pkz = exner_mid(state.delp, config.ptop)
         t = state.pt * pkz
         pe = config.ptop + interfaces_from_delp(state.delp, 0.0)
@@ -121,9 +125,9 @@ def build_model(config: DycoreConfig) -> AquaplanetModel:
         wind = jnp.sqrt(state.ua[..., -1] ** 2 + state.va[..., -1] ** 2) + 1.0
         rho_s = p_mid[..., -1] / (RDGAS * t[..., -1])
         dp_bot = state.delp[..., -1]
-        qs_sst = qsat(sst, pe[..., -1])
+        qs_sst = qsat(sst_loc, pe[..., -1])
         evap = cd * wind * rho_s * jnp.maximum(qs_sst - qv[..., -1], 0.0)
-        shf = cd * wind * rho_s * CP_AIR * (sst - t[..., -1])
+        shf = cd * wind * rho_s * CP_AIR * (sst_loc - t[..., -1])
         qv = qv.at[..., -1].add(evap * GRAV * dt / dp_bot)
         t = t.at[..., -1].add(shf * GRAV * dt / (CP_AIR * dp_bot))
 
@@ -147,7 +151,7 @@ def build_model(config: DycoreConfig) -> AquaplanetModel:
         pt = t / pkz
         q = state.q.at[..., 0].set(qv).at[..., 1].set(ql).at[..., 2].set(qr)
         u, v, pt = held_suarez_forcing(state.u, state.v, pt, state.delp,
-                                       lats, config.ptop, dt)
+                                       lats_loc, config.ptop, dt)
         return dataclasses.replace(state, u=u, v=v, pt=pt, q=q)
 
     def step(state: DycoreState) -> DycoreState:

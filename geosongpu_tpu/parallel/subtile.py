@@ -652,3 +652,55 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
         return jax.tree.map(one, state_stacked)
 
     return step, place, unplace
+
+
+# --------------------------------------------------------------------------
+# MeshConfig -> stepper (the experiment pipeline's entry point)
+# --------------------------------------------------------------------------
+
+def layout_from_mesh(mesh_cfg, npx: int, halo: int) -> SubtileLayout:
+    """Experiment MeshConfig (core/config.py) -> SubtileLayout.
+
+    face=6 is the reference's 6*NX*NY rank layout (one device owns one
+    block of one face, held_suarez.py:142-218); face=1 is the faces-local
+    layout (every device owns the same block of all 6 faces - fills
+    non-multiple-of-6 hosts with zero idle chips)."""
+    if mesh_cfg.face not in (1, 6):
+        raise ValueError(f"mesh.face must be 1 or 6, got {mesh_cfg.face}")
+    return SubtileLayout(n=npx, h=halo, py=mesh_cfg.y, px=mesh_cfg.x,
+                         face_sharded=mesh_cfg.face == 6)
+
+
+def build_mesh_stepper(model, mesh_cfg, forcing):
+    """Mesh-aware model stepper for the pipeline tasks.
+
+    Returns (place, step, unplace, desc): `place` moves a global
+    DycoreState onto the device mesh, `step` advances one model step on
+    placed state, `unplace` recovers the global state for gates/archives.
+    mesh_cfg None or 1 device: identity place/unplace around
+    model.step_fn.  Otherwise the subtile ppermute path - the layout is
+    part of the experiment, not a side tool (the reference's layouts are
+    config rows, /root/reference/src/tcn/ci/pipeline/held_suarez.py:272-377).
+
+    Note: the sharded step does not apply edge_symmetrize (the shared-edge
+    twins are prognosed on different devices); declare
+    `dycore: {edge_symmetrize: false}` in sharded experiments to keep the
+    single-device trajectory comparable."""
+    if mesh_cfg is None or mesh_cfg.n_devices <= 1:
+        return ((lambda s: s), model.step_fn, (lambda s: s),
+                "single-device")
+    if len(jax.devices()) < mesh_cfg.n_devices:
+        # the declared layout outsizes this host (e.g. the c192 experiment
+        # declares 6 faces on a 1-chip dev box): run single-device and say
+        # so, like the reference's layout fallback rows
+        return ((lambda s: s), model.step_fn, (lambda s: s),
+                f"single-device (mesh {mesh_cfg.n_devices} devices "
+                f"declared, {len(jax.devices())} available)")
+    cfg = model.config
+    lay = layout_from_mesh(mesh_cfg, cfg.npx, cfg.halo)
+    step, place, unplace = build_subtile_step(
+        model.ctx, lay, lats=model.lats, forcing=forcing)
+    kind = (f"face-sharded (6,{lay.py},{lay.px})" if lay.face_sharded
+            else f"faces-local ({lay.py},{lay.px})")
+    return (place, step, lambda s: unplace(s, cfg.npx),
+            f"subtile {kind}, {lay.ndevices} devices")

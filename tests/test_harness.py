@@ -99,3 +99,20 @@ def test_run_status():
     assert st.git_sha and len(st.git_sha) >= 7
     st2 = capture({"a": 1}, repo_dir="/root/repo")
     assert st.config_hash == st2.config_hash
+
+
+def test_sharded_experiment_dispatch(tmp_path):
+    """MeshConfig is honored by the pipeline: the held_suarez_c16_sharded
+    experiment declares a (2, 4) faces-local mesh and dispatch must run it
+    SPMD over the 8 virtual devices end-to-end - the layout is part of the
+    experiment, as in the reference's per-resolution rank layouts
+    (/root/reference/src/tcn/ci/pipeline/held_suarez.py:272-377)."""
+    env = dispatch("held_suarez_c16_sharded", PipelineAction.Validation,
+                   artifact_directory=str(tmp_path / "art"),
+                   workspace=str(tmp_path / "ws"))
+    rec = env.get("hs.record")
+    assert rec.extra["mesh"] == "subtile faces-local (2,4), 8 devices"
+    # gates ran on the recovered global state
+    state = env.get("hs.final_state")
+    assert np.asarray(state.u).shape[0] == 6
+    assert np.isfinite(np.asarray(state.u)).all()
