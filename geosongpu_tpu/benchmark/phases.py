@@ -153,10 +153,10 @@ def measure_phases(model, state, inner: int = 30,
             # single-output variant: (uct, vct) shapes are transposed
             # relative to (pu, pv), so the chained-input trick would feed
             # mismatched shapes - time with fixed args instead
-            return stage_csw_pair(pu, pv)[0]
+            return stage_csw_pair(pu, pv)[0]  # uct
 
         csw_t = _chain_time(stage_csw, (st0.pu, st0.pv), inner=inner)
-        uct, vct = stage_csw_pair(st0.pu, st0.pv)
+        uct, vct = stage_csw_pair(st0.pu, st0.pv)[:2]
         crx = uct * dt_ac * m.rdxc
         cry = vct * dt_ac * m.rdyc
         xfx = uct * dt_ac * m.dy

@@ -77,6 +77,14 @@ class DycoreConfig:
                                   # after each step (kills shared-edge
                                   # rounding drift; exact-arithmetic
                                   # no-op)
+    chart_corners: bool = True  # cube-corner chart consistency: corner
+                                # L-regions of every fill resampled onto
+                                # the analytically-extended chart
+                                # (core/chart_corners.py) and the basis
+                                # metrics evaluated there; fixes the
+                                # corner-block chimera AND halves scalar
+                                # halo fills (x-fill == y-fill after
+                                # correction).  False = round-3 behavior.
     overlap_fills: bool = False  # pipeline scalar halo exchanges across
                                  # acoustic substeps: substep i+1's
                                  # delp/pt/w/delz fills are issued right

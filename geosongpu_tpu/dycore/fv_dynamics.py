@@ -39,18 +39,28 @@ class DycoreContext(NamedTuple):
     ak: jnp.ndarray  # [K+1]
     bk: jnp.ndarray
     config: DycoreConfig
+    # cube-corner chart reconstruction weights (core/chart_corners.py);
+    # None when config.chart_corners is off
+    chart: object = None
 
 
 def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
                   bk: np.ndarray, phis: np.ndarray = None) -> DycoreContext:
     """phis: optional unpadded [6, n, n] surface geopotential (terrain in
     the PGF - both hydrostatic and NH regimes); None = flat."""
+    chart = None
+    if config.chart_corners:
+        from ..core.chart_corners import build_chart_tables
+
+        chart = build_chart_tables(config.npx, config.halo)
     return DycoreContext(
         ops=build_halo_ops(config.npx, config.halo),
-        metrics=padded_metrics(grid, phis=phis),
+        metrics=padded_metrics(grid, phis=phis,
+                               chart_cosa=config.chart_corners),
         ak=jnp.asarray(ak),
         bk=jnp.asarray(bk),
         config=config,
+        chart=chart,
     )
 
 
@@ -90,25 +100,32 @@ def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, ny, nx, rm):
     return u_new, v_new
 
 
-def _advect_tracers_accumulated(q, delp0, tacc, ops, m, hord, q_split):
+def _advect_tracers_accumulated(q, delp0, tacc, ops, m, hord, q_split,
+                                chart=None):
     """FV3 z_tracer mode: advect tracers once per remap interval with the
     time-accumulated Courant numbers / area fluxes / mass fluxes, split
     into `q_split` subcycles to keep the per-pass Courant < 1.  Exactly
-    preserves q == const (fluxes reduce to the accumulated mass fluxes)."""
+    preserves q == const (fluxes reduce to the accumulated mass fluxes;
+    the chart corner resample preserves constants exactly too)."""
     from ..ops.fvtp2d import ddx, ddy, fvtp2d
+
+    if chart is not None:
+        fx = lambda a: chart.apply_scalar(ops.fill(a, "x"), "x")
+    else:
+        fx = lambda a: ops.fill(a, "x")
 
     crx, cry, xfx, yfx, mfx, mfy = (a / q_split for a in tacc)
     h, ny, nx = ops.h, ops.ny, ops.nx
     islice = (slice(None), slice(h, h + ny), slice(h, h + nx))
     delp = delp0
     for _ in range(q_split):
-        pd_x = ops.fill(delp, "x")
+        pd_x = fx(delp)
         delp_new = (pd_x + (ddx(mfx) + ddy(mfy)) * m.rarea)[islice]
         T = q.shape[-1]
         qs = []
         for t in range(T):
-            qx = ops.fill(q[..., t], "x")
-            qy = ops.fill(q[..., t], "y")
+            qx = fx(q[..., t])
+            qy = qx if chart is not None else ops.fill(q[..., t], "y")
             qf = fvtp2d(qx, qy, crx, cry, xfx, yfx, m.area, hord=hord,
                         mfx=mfx, mfy=mfy)
             qdp = (qx * pd_x + (ddx(qf.fx) + ddy(qf.fy)) * m.rarea)[islice]
@@ -150,6 +167,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     else:
         w = delz = None
 
+    chart = ctx.chart
     if cfg.pallas_dycore:
         from .sw_pallas import d_sw_substep_pallas
         substep_fn = lambda s: d_sw_substep_pallas(
@@ -157,12 +175,13 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm,
             kt=cfg.pallas_kt or None,
-            jt=cfg.pallas_jt if cfg.pallas_jt > 0 else None)
+            jt=cfg.pallas_jt if cfg.pallas_jt > 0 else None,
+            chart=chart)
     else:
         substep_fn = lambda s: d_sw_substep(
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
-            hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm)
+            hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm, chart=chart)
 
     zf = jnp.zeros((), jnp.float32)
 
@@ -171,20 +190,30 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
         issued as soon as their producers (the transport stage) are done,
         dataflow-independent of the wind update, so on a sharded mesh the
         ppermute exchanges overlap with wind_part compute under XLA's
-        latency-hiding scheduler."""
+        latency-hiding scheduler.  Under chart_corners the corrected
+        x-fill serves both stencil directions (half the exchanges)."""
+        if chart is not None:
+            fx = lambda a: chart.apply_scalar(ops.fill(a, "x"), "x")
+            fy = lambda a, same: same
+        else:
+            fx = lambda a: ops.fill(a, "x")
+            fy = lambda a, same: ops.fill(a, "y")
+        pd = fx(delp_)
+        pt_p = fx(pt_)
+        pq = fx(q_) if substep_tracers else zf
+        pw = fx(w_) if nonhydro else zf
+        pz = fx(delz_) if nonhydro else zf
         return (
-            ops.fill(delp_, "x"), ops.fill(delp_, "y"),
-            ops.fill(pt_, "x"), ops.fill(pt_, "y"),
-            ops.fill(q_, "x") if substep_tracers else zf,
-            ops.fill(q_, "y") if substep_tracers else zf,
-            ops.fill(w_, "x") if nonhydro else zf,
-            ops.fill(w_, "y") if nonhydro else zf,
-            ops.fill(delz_, "x") if nonhydro else zf,
-            ops.fill(delz_, "y") if nonhydro else zf,
+            pd, fy(delp_, pd),
+            pt_p, fy(pt_, pt_p),
+            pq, fy(q_, pq) if substep_tracers else zf,
+            pw, fy(w_, pw) if nonhydro else zf,
+            pz, fy(delz_, pz) if nonhydro else zf,
         )
 
     def substep(carry, _):
-        u, v, delp, pt, q, w, delz, mfx_acc, mfy_acc, tacc, pads = carry
+        (u, v, delp, pt, q, w, delz, mfx_acc, mfy_acc, tacc, pads,
+         _uc, _vc) = carry
         if cfg.overlap_fills:
             pu, pv = ops.fill_dgrid(u, v)
             s = SWState(
@@ -200,7 +229,8 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             s = fill_substep(ops, u, v, delp, pt,
                              q if substep_tracers else None,
                              w=w if nonhydro else None,
-                             delz=delz if nonhydro else None)
+                             delz=delz if nonhydro else None,
+                             chart=chart)
         out = substep_fn(s)
         if nonhydro:
             # the implicit vertical acoustic solve runs inside
@@ -216,10 +246,13 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
                                          out.mfx_pad, out.mfy_pad)))
         pads2 = scalar_fills(out.delp, out.pt, q2, w2, delz2) \
             if cfg.overlap_fills else pads
+        # uc/vc ride the CARRY (only the final substep's values are
+        # consumed): a scan OUTPUT would stack n_split full copies in HBM
+        # (measured ~10 ms/step of dynamic-update-slice at c192)
         return (out.u, out.v, out.delp, out.pt, q2,
                 w2, delz2,
                 mfx_acc + out.mfx, mfy_acc + out.mfy,
-                tacc2, pads2), (out.uc, out.vc)
+                tacc2, pads2, out.uc, out.vc), None
 
     Ny = ny + 2 * cfg.halo
     Nx = nx + 2 * cfg.halo
@@ -243,19 +276,21 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
                  q if has_q else zf,
                  w if nonhydro else zf,
                  delz if nonhydro else zf,
-                 mfx_acc, mfy_acc, zero_tacc(), pads0)
-        carry, (ucs, vcs) = jax.lax.scan(substep, carry, None,
-                                         length=cfg.n_split)
-        u, v, delp, pt, qq, ww, zz, mfx_acc, mfy_acc, tacc, pads = carry
+                 mfx_acc, mfy_acc, zero_tacc(), pads0,
+                 ops.zeros((F, ny, nx + 1, K)),
+                 ops.zeros((F, ny + 1, nx, K)))
+        carry, _ = jax.lax.scan(substep, carry, None,
+                                length=cfg.n_split)
+        (u, v, delp, pt, qq, ww, zz, mfx_acc, mfy_acc, tacc, pads,
+         uc, vc) = carry
         if substep_tracers:
             q = qq
         if nonhydro:
             w, delz = ww, zz
-        uc, vc = ucs[-1], vcs[-1]
 
         if z_tracer:
             q = _advect_tracers_accumulated(
-                q, delp0, tacc, ops, m, cfg.hord, cfg.q_split)
+                q, delp0, tacc, ops, m, cfg.hord, cfg.q_split, chart=chart)
 
         # ---- vertical remap back to the reference hybrid coordinate ----
         pe1 = interfaces_from_delp(delp, cfg.ptop)

@@ -89,10 +89,17 @@ def build_sharded_step(ctx: DycoreContext, mesh: Optional[Mesh] = None):
     mesh = mesh or face_mesh()
     cfg = ctx.config
 
+    chart_sh = None
+    if ctx.chart is not None:
+        from ..core.chart_corners import sharded_chart_for_faces
+
+        chart_sh = sharded_chart_for_faces(ctx.chart, "face")
+
     def local_step(state_local: DycoreState, metrics_local):
         filler = ShardedFiller(cfg.npx, cfg.halo)
         lctx = DycoreContext(ops=filler, metrics=metrics_local,
-                             ak=ctx.ak, bk=ctx.bk, config=cfg)
+                             ak=ctx.ak, bk=ctx.bk, config=cfg,
+                             chart=chart_sh)
         return fv_dynamics_step(state_local, lctx)
 
     spec = P("face")

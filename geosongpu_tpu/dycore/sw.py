@@ -115,9 +115,15 @@ class PaddedMetrics(NamedTuple):
     rdyc_c: jnp.ndarray   # [6, N+1, N, 1]
 
 
-def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
+def padded_metrics(grid: Grid, phis=None,
+                   chart_cosa: bool = False) -> PaddedMetrics:
     """phis: optional UNPADDED surface geopotential [6, n, n] (terrain);
-    padded here via the scalar gather table.  None = flat."""
+    padded here via the scalar gather table.  None = flat.
+
+    chart_cosa: evaluate the basis-angle metrics at the CHART gridpoints
+    inside the cube-corner regions (where the fills deliver chart
+    samples under DycoreConfig.chart_corners) instead of at the gathered
+    true sample positions; bit-identical everywhere else."""
     a = lambda x: jnp.asarray(x)[..., None]
     r = lambda x: (1.0 / jnp.asarray(x))[..., None]
     import numpy as np
@@ -126,6 +132,30 @@ def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
     else:
         flat = np.asarray(phis, np.float32).reshape(-1)
         phis_pad = flat[grid.spec.gidx_x]
+    cosa_i, rsina_i = grid.cosa_i, grid.rsina_i
+    cosa_j, rsina_j = grid.cosa_j, grid.rsina_j
+    cosa_c, rsin2_c = grid.cosa_c, grid.rsin2_c
+    cosa_cn, rsin2_cn = grid.cosa_cn, grid.rsin2_cn
+    corner_dw = grid.corner_dw
+    if chart_cosa:
+        from ..core.chart_corners import chart_cosa_overrides
+
+        ov = chart_cosa_overrides(grid.n, grid.h)
+
+        def blend(name, base, base_r, power):
+            # blend only inside the mask so every other slot keeps the
+            # ORIGINAL bits (rsina was computed from f64 cosa upstream)
+            vals, mask = ov[name]
+            rs = 1.0 / np.maximum(1.0 - vals ** 2, 0.25) ** (0.5 * power)
+            return (np.where(mask, vals, base).astype(np.float32),
+                    np.where(mask, rs, base_r).astype(np.float32))
+        cosa_i, rsina_i = blend("cosa_i", cosa_i, rsina_i, 1)
+        cosa_j, rsina_j = blend("cosa_j", cosa_j, rsina_j, 1)
+        cosa_c, rsin2_c = blend("cosa_c", cosa_c, rsin2_c, 2)
+        cosa_cn, rsin2_cn = blend("cosa_cn", cosa_cn, rsin2_cn, 2)
+        from ..core.chart_corners import chart_corner_dw
+
+        corner_dw = chart_corner_dw(grid.n, grid.h)
     ap = jnp.pad(jnp.asarray(grid.area), ((0, 0), (1, 1), (1, 1)), mode="edge")
     area_c = 0.25 * (ap[:, :-1, :-1] + ap[:, :-1, 1:] + ap[:, 1:, :-1] + ap[:, 1:, 1:])
     return PaddedMetrics(
@@ -137,21 +167,21 @@ def padded_metrics(grid: Grid, phis=None) -> PaddedMetrics:
         dyc=a(grid.dyc),
         fcor=a(grid.fcor),
         rarea_c=(1.0 / area_c)[..., None],
-        cosa_i=a(grid.cosa_i),
-        rsina_i=a(grid.rsina_i),
-        cosa_j=a(grid.cosa_j),
-        rsina_j=a(grid.rsina_j),
+        cosa_i=a(cosa_i),
+        rsina_i=a(rsina_i),
+        cosa_j=a(cosa_j),
+        rsina_j=a(rsina_j),
         rdx=r(grid.dx),
         rdy=r(grid.dy),
         rdxc=r(grid.dxc),
         rdyc=r(grid.dyc),
-        cosa_c=a(grid.cosa_c),
-        rsin2_c=a(grid.rsin2_c),
-        cosa_cn=a(grid.cosa_cn),
-        rsin2_cn=a(grid.rsin2_cn),
+        cosa_c=a(cosa_c),
+        rsin2_c=a(rsin2_c),
+        cosa_cn=a(cosa_cn),
+        rsin2_cn=a(rsin2_cn),
         phis=a(phis_pad),
-        dw00=a(grid.corner_dw[0]), dw01=a(grid.corner_dw[1]),
-        dw10=a(grid.corner_dw[2]), dw11=a(grid.corner_dw[3]),
+        dw00=a(corner_dw[0]), dw01=a(corner_dw[1]),
+        dw10=a(corner_dw[2]), dw11=a(corner_dw[3]),
         dr11=a(grid.dr11), r12=a(grid.r12),
         r21=a(grid.r21), dr22=a(grid.dr22),
         jwm=a(grid.jwm), jwp=a(grid.jwp),
@@ -178,22 +208,49 @@ class SWState(NamedTuple):
     pz_y: Optional[jnp.ndarray] = None
 
 
-def fill_substep(ops: HaloOps, u, v, delp, pt, q, w=None, delz=None
-                 ) -> SWState:
+def fill_substep(ops: HaloOps, u, v, delp, pt, q, w=None, delz=None,
+                 chart=None) -> SWState:
+    """chart: optional ChartCornerTables.  When given, scalar fills are
+    resampled onto the chart gridpoints in the cube-corner L-regions -
+    after which the x- and y-order fills agree (their strips were always
+    identical), so ONE exchange serves both stencil directions: half the
+    scalar halo traffic, and the transport's ddx/ddy mixing reads one
+    consistent field (the corner-chimera fix)."""
     pu, pv = ops.fill_dgrid(u, v)
+
+    def fx(a):
+        if a is None:
+            return None
+        out = ops.fill(a, "x")
+        if chart is not None:
+            out = chart.apply_scalar(out, "x")
+        return out
+
+    def fy(a, same):
+        if a is None:
+            return None
+        if chart is not None:
+            return same  # corrected x-fill == corrected y-fill
+        return ops.fill(a, "y")
+
+    pd_x = fx(delp)
+    pt_x = fx(pt)
+    pq_x = fx(q)
+    pw_x = fx(w)
+    pz_x = fx(delz)
     return SWState(
         pu=pu,
         pv=pv,
-        pd_x=ops.fill(delp, "x"),
-        pd_y=ops.fill(delp, "y"),
-        pt_x=ops.fill(pt, "x"),
-        pt_y=ops.fill(pt, "y"),
-        pq_x=None if q is None else ops.fill(q, "x"),
-        pq_y=None if q is None else ops.fill(q, "y"),
-        pw_x=None if w is None else ops.fill(w, "x"),
-        pw_y=None if w is None else ops.fill(w, "y"),
-        pz_x=None if delz is None else ops.fill(delz, "x"),
-        pz_y=None if delz is None else ops.fill(delz, "y"),
+        pd_x=pd_x,
+        pd_y=fy(delp, pd_x),
+        pt_x=pt_x,
+        pt_y=fy(pt, pt_x),
+        pq_x=pq_x,
+        pq_y=fy(q, pq_x),
+        pw_x=pw_x,
+        pw_y=fy(w, pw_x),
+        pz_x=pz_x,
+        pz_y=fy(delz, pz_x),
     )
 
 
@@ -292,23 +349,34 @@ def _hydrostatic_fields(delp, pt, ptop):
 # c_sw: half-step -> time-centered C-grid winds
 # --------------------------------------------------------------------------
 
-def c_sw_part1(s: SWState, m: PaddedMetrics, dt2: float):
-    """C-grid winds (projected onto interface normals), half-step upwind
-    mass/pt update, center KE and absolute vorticity.  Purely horizontal
-    (no vertical coupling) so it can run inside a Pallas kernel; the
-    hydrostatic integrals of (delp_h, pt_h) happen outside."""
-    ua = _avg_u_to_center(s.pu)
-    va = _avg_v_to_center(s.pv)
-    # re-express halo components in OUR extended chart (see
-    # PaddedMetrics.dr11; exact zeros in the interior keep interior
-    # values bit-identical), then resample them onto our extended-chart
-    # gridpoints (PaddedMetrics.jwm): halo samples sit shifted along the
-    # edge otherwise, an O(h) wind error at the shared interface that
-    # becomes an O(1) mass-flux-divergence error at edge cells
+def a_grid_winds(pu, pv, m: PaddedMetrics):
+    """Chart-consistent A-grid winds from the padded D-grid fills.
+
+    Averaging, then the halo treatment: re-express halo components in OUR
+    extended chart (see PaddedMetrics.dr11; exact zeros in the interior
+    keep interior values bit-identical), then resample them onto our
+    extended-chart gridpoints (PaddedMetrics.jwm): halo samples sit
+    shifted along the edge otherwise, an O(h) wind error at the shared
+    interface that becomes an O(1) mass-flux-divergence error at edge
+    cells.  The cube-corner L-regions (where this per-cell machinery
+    cannot be exact - the chimera) are overwritten by the chart
+    reconstruction in the substep glue (core/chart_corners.apply_agrid)
+    when DycoreConfig.chart_corners is on."""
+    ua = _avg_u_to_center(pu)
+    va = _avg_v_to_center(pv)
     ua, va = (ua + (m.dr11 * ua + m.r12 * va),
               va + (m.r21 * ua + m.dr22 * va))
     ua = _resample_to_chart(ua, m)
     va = _resample_to_chart(va, m)
+    return ua, va
+
+
+def c_sw_part1(s: SWState, m: PaddedMetrics, dt2: float, ua, va):
+    """C-grid winds (projected onto interface normals), half-step upwind
+    mass/pt update, center KE and absolute vorticity.  Purely horizontal
+    (no vertical coupling) so it can run inside a Pallas kernel; the
+    hydrostatic integrals of (delp_h, pt_h) and the A-grid winds
+    (a_grid_winds + the corner chart reconstruction) happen outside."""
     uc = _center_to_xiface(ua)              # [6, N, N+1, K]
     vc = _center_to_yiface(va)              # [6, N+1, N, K]
     # transverse coordinate components at the interfaces
@@ -384,17 +452,32 @@ def c_sw_part2(uc, vc, pt_h, pkz, phi, ke, vort, m: PaddedMetrics,
     return uc_t, vc_t
 
 
-def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float):
+def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float,
+         chart=None):
     """Returns (uc*, vc*): advective *normal* winds at t + dt/2 on the
     C-grid.  The interpolated coordinate components are projected onto the
     interface normals ((V.e1 - cosa V.e2) / sina), which makes the fluxes
     metrically consistent on the non-orthogonal gnomonic grid (FV3's
-    ut/vt contravariant conversion)."""
-    uc, vc, delp_h, pt_h, ke, vort = c_sw_part1(s, m, dt2)
+    ut/vt contravariant conversion).
+
+    chart: optional ChartCornerTables - overwrites the cube-corner
+    L-regions of the A-grid winds with the chart reconstruction."""
+    ua, va = a_grid_winds(s.pu, s.pv, m)
+    if chart is not None:
+        ua, va = chart.apply_agrid(ua, va, s.pu, s.pv)
+    uc, vc, delp_h, pt_h, ke, vort = c_sw_part1(s, m, dt2, ua, va)
+    if chart is not None:
+        # the corner-block circulation closes over two different owner
+        # cells (raw pu row + raw pv col) - resample the center vorticity
+        # one-sidedly from the valid slots (the PPM vorticity flux at
+        # corner interfaces reads these; measured flat 2.3e-6 without)
+        vort = chart.apply_scalar(vort, "derived")
     # backward PGF from half-updated fields; compact C-grid gradients;
     # phis adds the terrain contribution (zero for flat experiments)
     pkz, phi = _hydrostatic_fields(delp_h, pt_h, ptop)
-    return c_sw_part2(uc, vc, pt_h, pkz, phi + m.phis, ke, vort, m, dt2)
+    uct, vct = c_sw_part2(uc, vc, pt_h, pkz, phi + m.phis, ke, vort, m,
+                          dt2)
+    return uct, vct, vort
 
 
 # --------------------------------------------------------------------------
@@ -497,7 +580,7 @@ def nh_perturbation_fields(delp_new, pt_new, delz_new, ptop: float):
 
 def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
               pt_new, pkz, phi_mid, nh_fields, dt: float, hord: int,
-              d2_bg: float, hord_mt: int = 0):
+              d2_bg: float, hord_mt: int = 0, vort=None):
     """D-grid vector-invariant wind update (horizontal only, Pallas-safe).
 
     pkz/phi_mid: hydrostatic fields of the post-transport state (computed
@@ -524,7 +607,10 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
     ke_c = 0.5 * m.rsin2_cn * (ub * ub + vb * vb
                                + 2.0 * m.cosa_cn * ub * vb)
 
-    vort_abs = _vorticity_abs(s.pu, s.pv, m)      # centers
+    # corrected center vorticity can be passed in (the chart-corner
+    # one-sided resample, computed once in c_sw's glue); None = recompute
+    vort_abs = vort if vort is not None \
+        else _vorticity_abs(s.pu, s.pv, m)        # centers
 
     upad, vpad = s.pu, s.pv
     du = upad[:, :, 1:] - upad[:, :, :-1]
@@ -600,15 +686,25 @@ def d_sw_substep(
     advect_tracers: bool = True,
     hord_mt: int = 0,
     hord_tm: int = 0,
+    chart=None,
 ) -> SubstepOut:
-    """One forward-backward acoustic substep on padded fields."""
+    """One forward-backward acoustic substep on padded fields.
+
+    chart: optional ChartCornerTables (cube-corner chart consistency for
+    the A-grid winds and the mid-substep refills)."""
     h, ny, nx = ops.h, ops.ny, ops.nx
+
+    def refill(a):
+        out = ops.fill(a, "x")
+        if chart is not None:
+            out = chart.apply_scalar(out, "x")
+        return out
     islice = (slice(None), slice(h, h + ny), slice(h, h + nx))
     isliceu = (slice(None), slice(h, h + ny + 1), slice(h, h + nx))
     islicev = (slice(None), slice(h, h + ny), slice(h, h + nx + 1))
 
     # ---- time-centered advective winds ---------------------------------
-    uct, vct = c_sw(s, m, 0.5 * dt, ptop)
+    uct, vct, vort_c = c_sw(s, m, 0.5 * dt, ptop, chart=chart)
 
     crx = uct * dt * m.rdxc
     cry = vct * dt * m.rdyc
@@ -633,8 +729,8 @@ def d_sw_substep(
     # edge-band imbalance at c48 sits in the first interior column,
     # 1.7e-4 vs 7e-6 one column in).  FV3 likewise halo-updates pk/gz
     # before its p_grad stage.
-    delp_f = ops.fill(delp_new[islice], "x")
-    pt_f = ops.fill(pt_new[islice], "x")
+    delp_f = refill(delp_new[islice])
+    pt_f = refill(pt_new[islice])
     if nonhydro:
         from .nh_solver import vertical_acoustic_solve
 
@@ -650,7 +746,7 @@ def d_sw_substep(
         # clamp above)
         delz_new = jnp.maximum(delz_new, 1.0)
         w_new = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
-        delz_f = ops.fill(delz_new[islice], "x")
+        delz_f = refill(delz_new[islice])
         nh_fields = nh_perturbation_fields(delp_f, pt_f, delz_f, ptop)
     else:
         w_new = delz_new = None
@@ -661,7 +757,8 @@ def d_sw_substep(
 
     u_new, v_new = wind_part(s, m, uct, vct, crx, cry, pt_f, pkz,
                              phi_mid + m.phis, nh_fields, dt, hord, d2_bg,
-                             hord_mt=hord_mt)
+                             hord_mt=hord_mt,
+                             vort=vort_c if chart is not None else None)
 
     return SubstepOut(
         u=u_new[isliceu],

@@ -162,6 +162,7 @@ def d_sw_substep_pallas(
     kt: Optional[int] = None,
     jt: Optional[int] = None,
     interpret: Optional[bool] = None,
+    chart=None,
 ) -> SubstepOut:
     """Drop-in replacement for sw.d_sw_substep with the horizontal phases
     fused into Pallas kernels.  Bit-compatible math (same functions), with
@@ -192,18 +193,32 @@ def d_sw_substep_pallas(
         rows = (118 * 1024 * 1024) // per_row
         jt = 0 if rows >= Ny else max(12, int(rows) - 2 * _JTILE_OVERLAP)
 
+    # ---- A-grid winds in the glue (XLA): averaging + halo basis/chart
+    # machinery + the cube-corner chart reconstruction - kept OUTSIDE the
+    # kernels so the corner patch contractions never meet J-tiling -------
+    from .sw import a_grid_winds
+
+    ua, va = a_grid_winds(s.pu, s.pv, m)
+    if chart is not None:
+        ua, va = chart.apply_agrid(ua, va, s.pu, s.pv)
+
     # ---- kernel 1: c_sw part 1 (C winds, half-step mass/pt, ke, vort) ---
-    def k1(pu, pv, pdx, pdy, ptx, pty, *mets):
+    def k1(pu, pv, uaa, vaa, pdx, pdy, ptx, pty, *mets):
         st = SWState(pu=pu, pv=pv, pd_x=pdx, pd_y=pdy, pt_x=ptx, pt_y=pty,
                      pq_x=None, pq_y=None)
-        return c_sw_part1(st, _metrics_from(mets), 0.5 * dt)
+        return c_sw_part1(st, _metrics_from(mets), 0.5 * dt, uaa, vaa)
 
     uc, vc, delp_h, pt_h, ke, vort = _face_call(
         k1,
-        [s.pu, s.pv, s.pd_x, s.pd_y, s.pt_x, s.pt_y] + _metrics_args(m),
+        [s.pu, s.pv, ua, va, s.pd_x, s.pd_y, s.pt_x, s.pt_y]
+        + _metrics_args(m),
         [(F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K), (F, Ny, Nx, K),
          (F, Ny, Nx, K), (F, Ny, Nx, K), (F, Ny, Nx, K)],
         kt, interpret, jt=jt, name="dsw_csw1")
+    if chart is not None:
+        # one-sided corner resample of the center vorticity (its corner-
+        # block circulation closes over two owners; see sw.c_sw)
+        vort = chart.apply_scalar(vort, "derived")
 
     # ---- vertical glue: hydrostatic integrals of the half state ---------
     pkz_h, phi_h = _hydrostatic_fields(delp_h, pt_h, ptop)
@@ -281,8 +296,14 @@ def d_sw_substep_pallas(
 
     # ---- re-fill transported halos before the backward PGF (the
     # transport stencil exhausts them; see sw.d_sw_substep) --------------
-    delp_f = ops.fill(delp_new[islice], "x")
-    pt_f = ops.fill(pt_new[islice], "x")
+    def refill(a):
+        out = ops.fill(a, "x")
+        if chart is not None:
+            out = chart.apply_scalar(out, "x")
+        return out
+
+    delp_f = refill(delp_new[islice])
+    pt_f = refill(pt_new[islice])
 
     # ---- vertical glue: NH implicit solve + perturbation fields ---------
     if nonhydro:
@@ -296,7 +317,7 @@ def d_sw_substep_pallas(
             w_if, delz_adv, pt_new, delp_new, dt, ptop)
         delz_new = jnp.maximum(delz_new, 1.0)
         w_new = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
-        delz_f = ops.fill(delz_new[islice], "x")
+        delz_f = refill(delz_new[islice])
         nh_fields = nh_perturbation_fields(delp_f, pt_f, delz_f, ptop)
     else:
         w_new = delz_new = None
@@ -306,7 +327,14 @@ def d_sw_substep_pallas(
     phi_mid = phi_mid + m.phis
 
     # ---- kernel 4: D-grid wind update -----------------------------------
+    use_vort = chart is not None
+
     def k4(pu, pv, uct, vct, crx, cry, pt_new, pkz, phi, *rest):
+        if use_vort:
+            vrt = rest[0]
+            rest = rest[1:]
+        else:
+            vrt = None
         if nonhydro:
             nh = tuple(rest[:3])
             mets = rest[3:]
@@ -317,9 +345,11 @@ def d_sw_substep_pallas(
                      pt_y=None, pq_x=None, pq_y=None)
         return wind_part(st, _metrics_from(mets), uct, vct, crx, cry,
                          pt_new, pkz, phi, nh, dt, hord, d2_bg,
-                         hord_mt=hord_mt)
+                         hord_mt=hord_mt, vort=vrt)
 
     w_in = [s.pu, s.pv, uct, vct, crx, cry, pt_f, pkz, phi_mid]
+    if use_vort:
+        w_in += [vort]
     if nonhydro:
         w_in += list(nh_fields)
     u_new, v_new = _face_call(

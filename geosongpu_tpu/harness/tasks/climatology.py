@@ -82,30 +82,43 @@ class HSClimatology(TaskBase):
 
         usum = np.zeros((nbins, dyc.npz))
         tsum = np.zeros((nbins, dyc.npz))
+        vsum = np.zeros((nbins, dyc.npz))
+        uvsum = np.zeros((nbins, dyc.npz))
         nsamp = 0
         sample_every = max(1, steps_per_day // 4)
         while nsamp * sample_every < avg_steps:
             state = model.run(state, sample_every)
             ua = np.asarray(state.ua).reshape(-1, dyc.npz)
+            va = np.asarray(state.va).reshape(-1, dyc.npz)
             tt = np.asarray(state.pt * exner_mid(state.delp, dyc.ptop)
                             ).reshape(-1, dyc.npz)
             for b in range(nbins):
                 sel = bin_idx == b
                 if sel.any():
                     usum[b] += ua[sel].mean(0)
+                    vsum[b] += va[sel].mean(0)
+                    # total zonal covariance; the eddy part subtracts
+                    # the zonal-mean product at the end
+                    uvsum[b] += (ua[sel] * va[sel]).mean(0)
                     tsum[b] += tt[sel].mean(0)
             nsamp += 1
         ubar = usum / max(nsamp, 1)
         tbar = tsum / max(nsamp, 1)
+        vbar = vsum / max(nsamp, 1)
+        # northward eddy momentum flux u'v' (stationary+transient): the
+        # HS94 Fig. 3 statistic
+        uv_eddy = uvsum / max(nsamp, 1) - ubar * vbar
         stack.close()
 
         ws = env.CI_WORKSPACE
         os.makedirs(ws, exist_ok=True)
         np.savez_compressed(os.path.join(ws, "hs_climatology.npz"),
-                            ubar=ubar, tbar=tbar, lat_edges=edges,
+                            ubar=ubar, tbar=tbar, vbar=vbar,
+                            uv_eddy=uv_eddy, lat_edges=edges,
                             nsamp=nsamp)
         env.set("clim.ubar", ubar)
         env.set("clim.tbar", tbar)
+        env.set("clim.uv_eddy", uv_eddy)
         env.set("clim.edges", edges)
 
     def check(self, config, env: Environment) -> bool:
@@ -150,6 +163,37 @@ class HSClimatology(TaskBase):
             raise CICheckException(
                 f"HS94 gate: equator-pole surface dT {dT:.1f} K outside "
                 "(10, 120); forcing profile not being realized")
+
+        # ---- published-statistic gates (values from OUTSIDE the repo:
+        # Held & Suarez 1994, BAMS 75, Figs. 1-3) -----------------------
+        k500 = int(round(0.5 * npz - 0.5))  # sigma ~ 0.5 model level
+        eq = np.abs(latc) < 10.0
+        t500 = float(tbar[eq][:, k500].mean())
+        t_lo, t_hi = config.get("t500_range", (248.0, 285.0))
+        if not (t_lo < t500 < t_hi):
+            raise CICheckException(
+                f"HS94 gate: tropical T at sigma~0.5 is {t500:.1f} K, "
+                f"outside [{t_lo}, {t_hi}] (HS94 Fig. 1: ~260-270 K)")
+
+        uv_eddy = env.get("clim.uv_eddy")
+        if uv_eddy is not None and config.get("eddy_gate", True):
+            upper_k = slice(0, max(1, npz // 2))
+            nh = latc > 10.0
+            # peak northward flux in the NH upper troposphere
+            peak = float(uv_eddy[nh][:, upper_k].max())
+            peak_floor = float(config.get("eddy_flux_floor", 2.0))
+            if peak < peak_floor:
+                raise CICheckException(
+                    f"HS94 gate: NH upper-level eddy momentum flux peak "
+                    f"{peak:.1f} m2/s2 < {peak_floor} (HS94 Fig. 3: "
+                    "~50-80 at full resolution; absence = no baroclinic "
+                    "eddies)")
+            blat = float(latc[nh][int(np.argmax(
+                uv_eddy[nh][:, upper_k].max(axis=1)))])
+            if not (10.0 < blat < 70.0):
+                raise CICheckException(
+                    f"HS94 gate: eddy flux peak at {blat:.0f} deg N, "
+                    "outside the 10-70 deg storm-track band")
 
         Progress.log(f"HS94 climatology gates: jet {jet:.1f} m/s @ "
                      f"|lat|~{core_lat:.0f}, tropical surface u "

@@ -29,6 +29,9 @@ def graph(path: str, out_png: str | None = None) -> str:
     ax2 = ax1.twinx()
     ax2.plot(t, data["cpu_exe_utl"], label="CPU util [%]",
              color="tab:green", alpha=0.6)
+    if "tpu_busy" in data and len(data["tpu_busy"]):
+        ax2.plot(t, np.asarray(data["tpu_busy"]) * 100.0,
+                 label="TPU busy [%] (queue probe)", color="tab:green")
     ax2.plot(t, data["tpu_mem_mb"] / max(C.TPU_SPEC["mem_mb"], 1) * 100,
              label="TPU mem [%]", color="tab:orange", alpha=0.6)
     ax2.set_ylabel("utilization / memory [%]")

@@ -8,10 +8,15 @@ with the NVML reads replaced by what a TPU host exposes:
   cpu_psu       idle + utilization * (tdp - idle)   [reference's model]
   host_mem      psutil.virtual_memory().percent
   tpu_mem       jax device memory_stats()['bytes_in_use'] (0 if N/A)
-  tpu_psu       duty-cycle * TDP model (duty from bytes_in_use delta proxy
-                is meaningless, so we record the nameplate envelope and the
-                sampler's job is the *time series shape*; real per-chip
-                power needs platform counters unavailable in this runtime)
+  tpu_busy      MEASURED queue-probe duty estimate: a 1-element device op
+                is dispatched and timed; when the chip is executing other
+                work the probe queues behind it, so its completion
+                latency rises above the calibrated idle baseline.  The
+                series genuinely dips to ~0 when the chip idles (gated in
+                tests/test_harness.py), unlike the round-3 bytes-in-use
+                boolean.  Post-hoc, hws.xprof_util derives the exact duty
+                cycle from profiler traces (device-interval union).
+  tpu_psu       idle + tpu_busy * (tdp - idle) power envelope
 """
 from __future__ import annotations
 
@@ -26,7 +31,8 @@ import psutil
 
 from . import constants as C
 
-FIELDS = ("tpu_psu", "tpu_mem_mb", "cpu_exe_utl", "cpu_psu", "host_mem_pct")
+FIELDS = ("tpu_psu", "tpu_mem_mb", "tpu_busy", "cpu_exe_utl", "cpu_psu",
+          "host_mem_pct")
 
 
 class Sampler:
@@ -36,6 +42,50 @@ class Sampler:
         self.ticks: List[int] = []
         self.running = False
         self._devices = None
+        self._probe = None        # (fn, arg) tiny compiled device op
+        self._idle_lat = None     # calibrated idle probe latency [s]
+
+    def _setup_probe(self) -> bool:
+        if self._probe is not None:
+            return self._idle_lat is not None
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if self._devices is None:
+                self._devices = jax.local_devices()
+            dev = self._devices[0]
+            x = jax.device_put(jnp.ones((8,), jnp.float32), dev)
+            fn = jax.jit(lambda a: a + 1.0)
+            fn(x).block_until_ready()   # compile
+            self._probe = (fn, x)
+            # calibrate idle latency (median of 5)
+            lats = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn(x).block_until_ready()
+                lats.append(time.perf_counter() - t0)
+            lats.sort()
+            self._idle_lat = lats[len(lats) // 2]
+            return True
+        except Exception:
+            self._probe = (None, None)
+            self._idle_lat = None
+            return False
+
+    def _tpu_busy(self) -> float:
+        """Queue-probe duty estimate in [0, 1]: the probe op completes
+        only after in-flight device work; excess latency over the idle
+        baseline, normalized by the sampling interval, approximates the
+        busy fraction seen by this sample."""
+        if not self._setup_probe():
+            return 0.0
+        fn, x = self._probe
+        t0 = time.perf_counter()
+        fn(x).block_until_ready()
+        lat = time.perf_counter() - t0
+        excess = max(0.0, lat - 2.0 * self._idle_lat)
+        return min(1.0, excess / max(self.rate_s, 4.0 * self._idle_lat))
 
     def _tpu_mem_mb(self) -> float:
         try:
@@ -56,10 +106,10 @@ class Sampler:
             C.CPU_SPEC["tdp_w"] - C.CPU_SPEC["idle_w"])
         mem = psutil.virtual_memory().percent
         tpu_mem = self._tpu_mem_mb()
-        tpu_busy = 1.0 if tpu_mem > 1.0 else 0.0
+        tpu_busy = self._tpu_busy()
         tpu_psu = C.TPU_SPEC["idle_w"] + tpu_busy * (
             C.TPU_SPEC["tdp_w"] - C.TPU_SPEC["idle_w"])
-        row = (tpu_psu, tpu_mem, cpu, cpu_psu, mem)
+        row = (tpu_psu, tpu_mem, tpu_busy, cpu, cpu_psu, mem)
         for k, v in zip(FIELDS, row):
             self.data[k].append(v)
 

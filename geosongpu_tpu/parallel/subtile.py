@@ -610,12 +610,21 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
             lambda a: _put_stacked(stack_blocks(lay, np.asarray(a)),
                                    sharding), lats)
 
+    chart_sh = None
+    if ctx.chart is not None:
+        from ..core.chart_corners import sharded_chart_for_subtile
+
+        # None when blocks are too small for the corner patches (tiny
+        # dev meshes) - such runs skip the corner correction
+        chart_sh = sharded_chart_for_subtile(ctx.chart, lay, DEV_AXIS)
+
     def local_step(state_l, metrics_l, lats_l):
         sq = lambda t: jax.tree.map(lambda a: a[0], t)
         state_l = sq(state_l)
         filler = SubtileFiller(plan, comm=comm)
         lctx = DycoreContext(ops=filler, metrics=sq(metrics_l),
-                             ak=ctx.ak, bk=ctx.bk, config=cfg)
+                             ak=ctx.ak, bk=ctx.bk, config=cfg,
+                             chart=chart_sh)
         out = fv_dynamics_step(state_l, lctx)
         if forcing is not None:
             out = forcing(out, sq(lats_l))

@@ -24,7 +24,22 @@ def main(argv=None) -> int:
     dc.add_argument("computed")
     dc.add_argument("--out", default="dashboard.html")
 
+    sv = sub.add_parser(
+        "serve", help="live dashboard server with a reload endpoint "
+        "(the reference's Dash app role)")
+    sv.add_argument("reference")
+    sv.add_argument("computed")
+    sv.add_argument("--port", type=int, default=8050)
+    sv.add_argument("--host", default="127.0.0.1")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        from .dashboard_server import DashboardServer
+
+        DashboardServer(args.reference, args.computed, host=args.host,
+                        port=args.port).serve_forever()
+        return 0
 
     if args.cmd == "dash_compare":
         from ..validation.analysis import load_dataset

@@ -53,12 +53,15 @@ def _panel_png(field: np.ndarray, name: str, diff: bool = False) -> str:
     return base64.b64encode(buf.getvalue()).decode()
 
 
-def compare_dashboard(ref: Dict[str, np.ndarray],
-                      computed: Dict[str, np.ndarray],
-                      out_html: str,
-                      variables: Optional[list] = None,
-                      title: str = "reference vs computed") -> str:
-    """Write a 3-tab static dashboard (Difference / Reference / Computed)."""
+def render_html(ref: Dict[str, np.ndarray],
+                computed: Dict[str, np.ndarray],
+                variables: Optional[list] = None,
+                title: str = "reference vs computed",
+                live: bool = False) -> str:
+    """Render the 3-tab dashboard (Difference / Reference / Computed) as
+    an HTML string.  live=True adds the REGENERATE button wired to the
+    dashboard server's /reload endpoint (plots/dashboard_server.py) -
+    the reference Dash app's re-read-and-rerender workflow."""
     varlist = variables or [k for k in ref
                             if k in computed and np.asarray(ref[k]).ndim >= 3]
     tabs = {"Difference": [], "Reference": [], "Computed": []}
@@ -83,6 +86,14 @@ def compare_dashboard(ref: Dict[str, np.ndarray],
             f'<div class="tab" id="t{i}" '
             f'style="display:{"block" if i == 0 else "none"}">{imgs}</div>')
 
+    reload_btn = ("""<button id="regen" onclick="regen()">"""
+                  """REGENERATE (re-read files)</button>""" if live else "")
+    reload_js = ("""
+async function regen() {
+  document.getElementById('regen').textContent = 'regenerating...';
+  await fetch('/reload', {method: 'POST'});
+  location.reload();
+}""" if live else "")
     html = f"""<!doctype html>
 <html><head><meta charset="utf-8"><title>{title}</title>
 <style>
@@ -95,13 +106,23 @@ img {{ max-width: 420px; }}
 function show(i) {{
   for (let k = 0; k < 3; k++)
     document.getElementById('t'+k).style.display = (k===i) ? 'block' : 'none';
-}}
+}}{reload_js}
 </script></head>
 <body><h2>{title}</h2>
-<nav>{''.join(nav)}</nav>
+<nav>{''.join(nav)}{reload_btn}</nav>
 {''.join(sections)}
 </body></html>
 """
+    return html
+
+
+def compare_dashboard(ref: Dict[str, np.ndarray],
+                      computed: Dict[str, np.ndarray],
+                      out_html: str,
+                      variables: Optional[list] = None,
+                      title: str = "reference vs computed") -> str:
+    """Write the dashboard as a STATIC artifact file (CI-attachable)."""
+    html = render_html(ref, computed, variables=variables, title=title)
     os.makedirs(os.path.dirname(os.path.abspath(out_html)), exist_ok=True)
     with open(out_html, "w") as f:
         f.write(html)

@@ -58,7 +58,11 @@ def main():
     s = sw.fill_substep(ops, st.u, st.v, st.delp, st.pt, None)
 
     # ---- c_sw: advective winds ----------------------------------------
-    uc, vc, delp_h, pt_h, ke, vort = sw.c_sw_part1(s, m, 0.5 * cfg.dt)
+    ua, va = sw.a_grid_winds(s.pu, s.pv, m)
+    if ctx.chart is not None:
+        ua, va = ctx.chart.apply_agrid(ua, va, s.pu, s.pv)
+    uc, vc, delp_h, pt_h, ke, vort = sw.c_sw_part1(s, m, 0.5 * cfg.dt,
+                                                   ua, va)
 
     # analytic normal winds at interfaces: covariant zonal comps projected
     dxi = (np.pi / 2) / n
@@ -107,7 +111,7 @@ def main():
 
     # ---- full advective winds (after c_sw_part2 PGF/KE update): for the
     # balanced state they should still equal the analytic normal winds ---
-    uct, vct = sw.c_sw(s, m, 0.5 * cfg.dt, cfg.ptop)
+    uct, vct, _ = sw.c_sw(s, m, 0.5 * cfg.dt, cfg.ptop, chart=ctx.chart)
     report("uc* (time-centered)",
            np.asarray(uct)[..., 0][iu] - uc_true[iu], npx, h)
     report("vc* (time-centered)",

@@ -98,11 +98,14 @@ def _corner_mask(npx, rows, excl_cells_at_c12=3.0):
 def _init_tendency(npx):
     """|du/dt| of the balanced state at t=0 (bare dycore, tiny step).
 
-    Returns (far-field RMS, edge-band RMS, max): the edge band is within
-    3 cells of a face edge but outside the corner disks - the zone where
-    the face-edge consistency treatment (halo wind basis rotation + chart
-    resampling + post-transport refill, grid.py/sw.py) must hold the
-    error at the interior level."""
+    Returns (far-field RMS, edge-band RMS, corner-disk RMS, max): the
+    edge band is within 3 cells of a face edge but outside the corner
+    disks - the zone where the face-edge consistency treatment (halo wind
+    basis rotation + chart resampling + post-transport refill,
+    grid.py/sw.py) must hold the error at the interior level; the corner
+    disks are where the chart-consistent corner reconstruction
+    (core/chart_corners.py) must make the residual CONVERGE (it was flat
+    at ~8e-5 m/s^2 through round 3)."""
     from geosongpu_tpu.dycore.fv_dynamics import fv_dynamics_step
 
     cfg = DycoreConfig(npx=npx, npz=8, dt=120.0, n_split=1, d2_bg=0.0,
@@ -119,6 +122,7 @@ def _init_tendency(npx):
     edge = (de < 3) & far
     return (float(np.sqrt((dudt[:, far] ** 2).mean())),
             float(np.sqrt((dudt[:, edge] ** 2).mean())),
+            float(np.sqrt((dudt[:, ~far] ** 2).mean())),
             float(np.abs(dudt).max()))
 
 
@@ -157,15 +161,34 @@ def test_balanced_flow_tendency_converges_away_from_corners():
     edge band was FLAT at ~1.2e-4 m/s^2 across c12-c48 - an O(1)
     inconsistency; after, measured 1.2e-5 (c12) -> 6.4e-6 (c24),
     converging.  Gates carry ~1.5x headroom over measured."""
-    rms12, edge12, _ = _init_tendency(12)
-    rms24, edge24, _ = _init_tendency(24)
+    rms12, edge12, corner12, max12 = _init_tendency(12)
+    rms24, edge24, corner24, max24 = _init_tendency(24)
     assert rms24 < 0.85 * rms12, (rms12, rms24)
     # the edge band must converge too (it was flat pre-overhaul)
     assert edge24 < 0.85 * edge12, (edge12, edge24)
+    # the corner disks must converge (flat at ~8e-5 through round 3;
+    # measured 2.05e-5 -> 7.0e-6 with the chart-consistent corners -
+    # gates carry headroom)
+    assert corner24 < 0.6 * corner12, (corner12, corner24)
+    assert max24 < 0.85 * max12, (max12, max24)
     # absolute levels: tiny relative to the Coriolis-scale accelerations
-    # (f*U0 ~ 2e-3 m/s^2); measured 1.8e-5 / 1.2e-5 at c12
+    # (f*U0 ~ 2e-3 m/s^2); measured 1.8e-5 / 1.2e-5 / 2.1e-5 at c12
     assert rms12 < 3.0e-5, rms12
     assert edge12 < 2.0e-5, edge12
+    assert corner12 < 4.0e-5, corner12
+
+
+@pytest.mark.slow
+def test_corner_disk_converges_to_c48():
+    """Full three-resolution corner gate (the round-3 verdict's Done
+    condition): corner-disk RMS decreasing c12 -> c24 -> c48.  Measured
+    2.05e-5 -> 7.0e-6 -> 5.4e-6 (the c48 step approaches the interior
+    f32 floor ~3.9e-6, hence the gentler second gate)."""
+    _, _, c12, _ = _init_tendency(12)
+    _, _, c24, _ = _init_tendency(24)
+    _, _, c48, _ = _init_tendency(48)
+    assert c24 < 0.6 * c12, (c12, c24)
+    assert c48 < 0.95 * c24, (c24, c48)
 
 
 def test_balanced_flow_stays_bounded():

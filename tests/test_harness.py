@@ -116,3 +116,38 @@ def test_sharded_experiment_dispatch(tmp_path):
     state = env.get("hs.final_state")
     assert np.asarray(state.u).shape[0] == 6
     assert np.isfinite(np.asarray(state.u)).all()
+
+
+def test_hws_busy_probe_dips_when_idle():
+    """The round-3 verdict: TPU 'power' was a memory-in-use boolean that
+    never dipped.  The queue-probe duty estimate must read ~0 on an idle
+    device and rise while work is in flight."""
+    import jax
+    import jax.numpy as jnp
+
+    from geosongpu_tpu.hws.server import Sampler
+
+    s = Sampler(rate_s=0.005)
+    for _ in range(5):
+        s.sample_once()           # idle
+    idle = float(np.mean(s.data["tpu_busy"][-4:]))
+    assert idle < 0.25, s.data["tpu_busy"]
+
+    # keep the device busy with chained largeish matmuls, sample mid-flight
+    x = jnp.ones((1500, 1500), jnp.float32)
+    f = jax.jit(lambda a: a @ a / 1500.0)
+    y = f(x)
+    jax.block_until_ready(y)
+    busy_samples = []
+    for _ in range(6):
+        for _ in range(25):
+            y = f(y)              # queue async work
+        s.sample_once()           # probe queues behind it
+        busy_samples.append(s.data["tpu_busy"][-1])
+    jax.block_until_ready(y)
+    assert max(busy_samples) > 2.0 * max(idle, 0.02), (idle, busy_samples)
+    # and it dips again once the queue drains
+    for _ in range(3):
+        s.sample_once()
+    assert s.data["tpu_busy"][-1] < 0.5 * max(busy_samples), (
+        busy_samples, s.data["tpu_busy"][-3:])

@@ -37,8 +37,12 @@ from geosongpu_tpu.parallel.subtile import (SubtileLayout,
                                             stack_blocks)
 from geosongpu_tpu.physics.held_suarez import held_suarez_forcing
 
+# chart_corners off: the (2, 4) blocks of an n=8 grid are below the
+# corner-patch minimum (bn >= 4), so the sharded step would silently skip
+# the correction the single-device reference applies - this test's job is
+# the multi-PROCESS transport, exercised identically either way
 cfg = DycoreConfig(npx=8, npz=6, dt=600.0, n_split=2, halo=3,
-                   edge_symmetrize=False)
+                   edge_symmetrize=False, chart_corners=False)
 model = build_model(cfg)
 state = model.init(perturb=1e-3)
 ref = model.step_fn(state)   # single-(local-)device reference

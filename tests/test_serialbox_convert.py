@@ -126,3 +126,53 @@ def test_convert_savepoint_filter(tmp_path):
                     savepoint="Plain",
                     serializer_factory=_factory(1, 1, 4, 4, 3, sps))
     assert len(paths) == 1 and "Plain" in paths[0]
+
+
+def test_convert_parses_real_bytes(tmp_path):
+    """End-to-end through REAL files: write a serialbox-style binary dump
+    (MetaData/ArchiveMetaData json + raw little-endian .dat records) for
+    a 6-tile x (2, 1) rank layout, then run the converter with the
+    binary-directory serializer - every value crosses the disk as bytes,
+    unlike the injected in-memory fake above.  Layout/stitching/sentinel
+    semantics match the reference converter
+    (/root/reference/src/tcn/validation/serialbox/serialbox_dat_to_netcdf.py:91-161)."""
+    import numpy as np
+
+    from geosongpu_tpu.validation.serialbox_binary import (
+        binary_serializer_factory, write_fixture)
+    from geosongpu_tpu.validation.serialbox_convert import convert
+
+    lx, ly = 2, 1
+    ny, nx, nz = 4, 3, 2
+    rng = np.random.RandomState(7)
+    dat = tmp_path / "dump"
+    # global truth per tile: [ny*ly, nx*lx, nz]
+    truth = rng.randn(6, ny * ly, nx * lx, nz)
+    truth[0, 0, 0, 0] = 1.0e40       # sentinel -> 0 on conversion
+    for tile in range(6):
+        for by in range(ly):
+            for bx in range(lx):
+                rank = tile * lx * ly + by * lx + bx
+                block = truth[tile, by * ny:(by + 1) * ny,
+                              bx * nx:(bx + 1) * nx]
+                write_fixture(str(dat), f"Generator_rank{rank}",
+                              ["MoistPhysics-In", "MoistPhysics-Out"],
+                              {"t_field": [block[..., 0], block[..., 1]],
+                               "q3d": [block, block * 2.0]})
+
+    out = tmp_path / "out"
+    written = convert(str(dat), str(out), layout=(lx, ly), fmt="npz",
+                      serializer_factory=binary_serializer_factory(
+                          str(dat)))
+    assert len(written) == 2
+    d_in = np.load([w for w in written if "In" in w][0])
+    expect = truth.copy()
+    expect[np.abs(expect) >= 1.0e40] = 0.0
+    np.testing.assert_allclose(d_in["t_field"], expect[..., 0], rtol=0)
+    np.testing.assert_allclose(d_in["q3d"], expect, rtol=0)
+    d_out = np.load([w for w in written if "Out" in w][0])
+    np.testing.assert_allclose(d_out["q3d"], expect * 2.0, rtol=0)
+    # the fixture really is files-on-disk in the serialbox layout
+    assert (dat / "MetaData-Generator_rank0.json").exists()
+    assert (dat / "ArchiveMetaData-Generator_rank0.json").exists()
+    assert (dat / "Generator_rank0_q3d.dat").exists()
