@@ -143,12 +143,13 @@ class ChartCornerTables:
 
     n: int
     h: int
-    # scalar resample: [6, 4, T_sc, P*P] weights over the P x P padded
-    # patch; applied in deviation form so uniform fields are preserved
-    # bit-exactly
+    # scalar resample: [6, 4, W*W, P*P] weights over the P x P padded
+    # patch, DENSE over the W x W corner square (zero rows = passthrough
+    # in deviation form); applied as one static-slice block update per
+    # corner, preserving uniform fields bit-exactly
     sc_dw_x: np.ndarray
     sc_dw_y: np.ndarray
-    sc_jidx: np.ndarray       # [4, T_sc] target slots (shared by faces)
+    sc_jidx: np.ndarray       # [4, T_sc] absolute target slots (probes)
     sc_iidx: np.ndarray
     # one-sided scalar resample for DERIVED fields (e.g. the center
     # vorticity) whose corner L-region values are invalid: weights draw
@@ -156,8 +157,10 @@ class ChartCornerTables:
     # L-region columns
     sc_ex: np.ndarray         # [6, 4, T_sc, P*P]
     # A-grid wind reconstruction: samples = pu patch then pv patch flat;
-    # targets = ua region then va region (same slot lists)
-    st_w: np.ndarray          # [6, 4, 2*T_sc, S]
+    # rows = ua square then va square (dense over W x W; st_mask marks
+    # the true target slots - the rest keep their current values)
+    st_w: np.ndarray          # [6, 4, 2*W*W, S]
+    st_mask: np.ndarray       # [4, W*W] bool
     st_jidx: np.ndarray       # [4, T_sc]
     st_iidx: np.ndarray
 
@@ -319,22 +322,45 @@ def build_chart_tables(n: int, h: int) -> ChartCornerTables:
             st_w[f, cid] = np.concatenate(
                 [eval_rows(E1), eval_rows(E2)], axis=0)
 
-    # store PATCH-RELATIVE target slots so application generalizes to
-    # rectangular local blocks (subtile sharding): absolute indices are
-    # recovered from each array's own corner-patch anchor
-    jrel, irel = [], []
+    # densify onto the W x W corner square (W = h + 2), target slots
+    # addressed PATCH-RELATIVE so application generalizes to rectangular
+    # local blocks; non-target rows are ZERO, which in deviation form is
+    # an exact passthrough - the appliers then update each corner with a
+    # single static-slice dynamic-update-slice (a gather/scatter with
+    # advanced indices copies the whole padded array: measured +56
+    # ms/step at c192)
+    W = h + 2
+    WW = W * W
+    T_sc = sc_dw_x.shape[2]
+    S_st = st_w.shape[3]
+
+    def _dense(tbl, ncomp=1):
+        dense = np.zeros((NFACES, 4, ncomp * WW, tbl.shape[3] // 1
+                          if False else tbl.shape[3]))
+        for cid in range(4):
+            ysq, xsq = _corner_patch_slices(N, N, W, W, cid)
+            rows = ((sc_jidx[cid] - ysq.start) * W
+                    + (sc_iidx[cid] - xsq.start))
+            for c in range(ncomp):
+                dense[:, cid, rows + c * WW] = \
+                    tbl[:, cid, c * T_sc:(c + 1) * T_sc]
+        return dense
+
+    mask = np.zeros((4, WW), bool)
     for cid in range(4):
-        ys, xs = _corner_patch_slices(N, N, P, P, cid)
-        jrel.append(sc_jidx[cid] - ys.start)
-        irel.append(sc_iidx[cid] - xs.start)
+        ysq, xsq = _corner_patch_slices(N, N, W, W, cid)
+        rows = ((sc_jidx[cid] - ysq.start) * W
+                + (sc_iidx[cid] - xsq.start))
+        mask[cid, rows] = True
     return ChartCornerTables(
         n=n, h=h,
-        sc_dw_x=np.asarray(sc_dw_x, np.float32),
-        sc_dw_y=np.asarray(sc_dw_y, np.float32),
-        sc_jidx=np.asarray(jrel), sc_iidx=np.asarray(irel),
-        sc_ex=np.asarray(sc_ex, np.float32),
-        st_w=np.asarray(st_w, np.float32),
-        st_jidx=np.asarray(jrel), st_iidx=np.asarray(irel),
+        sc_dw_x=np.asarray(_dense(sc_dw_x), np.float32),
+        sc_dw_y=np.asarray(_dense(sc_dw_y), np.float32),
+        sc_jidx=np.asarray(sc_jidx), sc_iidx=np.asarray(sc_iidx),
+        sc_ex=np.asarray(_dense(sc_ex), np.float32),
+        st_w=np.asarray(_dense(st_w, ncomp=2), np.float32),
+        st_mask=mask,
+        st_jidx=np.asarray(sc_jidx), st_iidx=np.asarray(sc_iidx),
     )
 
 
@@ -441,72 +467,83 @@ def chart_corner_dw(n: int, h: int) -> np.ndarray:
 def _apply_scalar(a, tables, direction, gate, fsel):
     """Core scalar corner resample on a padded [F, Ny, Nx, ...] array.
 
-    gate: optional [4] traced 0/1 factors (per-corner on/off for this
-    device - deviation form makes 0 an exact no-op); fsel: optional
-    traced face index selecting the weight row when the local face axis
-    is a single face (face-sharded layouts)."""
+    One STATIC-slice block update per corner: the dense W x W weight
+    rows are zero off the L-region, and the deviation form makes a zero
+    row an exact passthrough (so per-device gating just scales the
+    weights).  gate: optional [4] traced 0/1 factors; fsel: optional
+    traced face index when the local face axis holds a single face."""
     import jax.numpy as jnp
 
     h = tables.h
     Ny, Nx = a.shape[1], a.shape[2]
     P = _patch_width(h)
+    W = h + 2
     W_all = jnp.asarray({"x": tables.sc_dw_x, "y": tables.sc_dw_y,
                          "derived": tables.sc_ex}[direction])
     out = a
     for cid in range(4):
         ys, xs = _corner_patch_slices(Ny, Nx, P, P, cid)
-        Jt = tables.sc_jidx[cid] + ys.start
-        It = tables.sc_iidx[cid] + xs.start
-        W = W_all[:, cid]                       # [6, T, PP]
+        ysq, xsq = _corner_patch_slices(Ny, Nx, W, W, cid)
+        Wd = W_all[:, cid]                      # [6, WW, PP]
         if fsel is not None:
-            W = jnp.take(W, fsel, axis=0)[None]  # [1, T, PP]
+            Wd = jnp.take(Wd, fsel, axis=0)[None]
         if gate is not None:
-            W = W * gate[cid]
+            Wd = Wd * gate[cid]
         patch = a[:, ys, xs]
         samp = patch.reshape((patch.shape[0], P * P) + patch.shape[3:])
-        base = a[:, Jt, It]                     # [F, T, ...]
-        dev = samp[:, None] - base[:, :, None]  # [F, T, PP, ...]
-        corr = jnp.einsum(W, [0, 1, 2],
+        blk = out[:, ysq, xsq]
+        base = blk.reshape((blk.shape[0], W * W) + blk.shape[3:])
+        dev = samp[:, None] - base[:, :, None]  # [F, WW, PP, ...]
+        corr = jnp.einsum(Wd, [0, 1, 2],
                           dev, list(range(dev.ndim)),
                           [0, 1] + list(range(3, dev.ndim)))
-        out = out.at[:, Jt, It].set(base + corr)
+        out = out.at[:, ysq, xsq].set((base + corr).reshape(blk.shape))
     return out
 
 
 def _apply_agrid(ua, va, pu, pv, tables, gate, fsel):
-    """Core A-grid corner reconstruction (see ChartCornerTables)."""
+    """Core A-grid corner reconstruction (see ChartCornerTables): one
+    static-slice block update per corner per component; non-target rows
+    of the dense square keep their current values via the static mask."""
     import jax.numpy as jnp
 
     h = tables.h
     Ny, Nx = ua.shape[1], ua.shape[2]
     P = _patch_width(h)
+    W = h + 2
+    WW = W * W
     W_all = jnp.asarray(tables.st_w)
-    T = tables.st_jidx.shape[1]
     ua_out, va_out = ua, va
     for cid in range(4):
-        ys, xs = _corner_patch_slices(Ny, Nx, P, P, cid)
-        Jt = tables.st_jidx[cid] + ys.start
-        It = tables.st_iidx[cid] + xs.start
         uys, uxs = _corner_patch_slices(Ny + 1, Nx, P + 1, P, cid)
         vys, vxs = _corner_patch_slices(Ny, Nx + 1, P, P + 1, cid)
+        ysq, xsq = _corner_patch_slices(Ny, Nx, W, W, cid)
         up = pu[:, uys, uxs]
         vp = pv[:, vys, vxs]
         samp = jnp.concatenate([
             up.reshape((up.shape[0], (P + 1) * P) + up.shape[3:]),
             vp.reshape((vp.shape[0], P * (P + 1)) + vp.shape[3:]),
         ], axis=1)                               # [F, S, ...]
-        W = W_all[:, cid]                        # [6, 2T, S]
+        Wd = W_all[:, cid]                       # [6, 2*WW, S]
         if fsel is not None:
-            W = jnp.take(W, fsel, axis=0)[None]
-        out = jnp.einsum(W, [0, 1, 2],
+            Wd = jnp.take(Wd, fsel, axis=0)[None]
+        rec = jnp.einsum(Wd, [0, 1, 2],
                          samp, [0, 2] + list(range(3, samp.ndim + 1)),
                          [0, 1] + list(range(3, samp.ndim + 1)))
-        ru, rv = out[:, :T], out[:, T:]
+        mask = jnp.asarray(tables.st_mask[cid])
         if gate is not None:
-            ru = jnp.where(gate[cid] > 0, ru, ua_out[:, Jt, It])
-            rv = jnp.where(gate[cid] > 0, rv, va_out[:, Jt, It])
-        ua_out = ua_out.at[:, Jt, It].set(ru)
-        va_out = va_out.at[:, Jt, It].set(rv)
+            mask = mask & (gate[cid] > 0)
+        mshape = (1, WW) + (1,) * (rec.ndim - 2)
+        for comp, tgt in ((0, ua_out), (1, va_out)):
+            blk = tgt[:, ysq, xsq]
+            cur = blk.reshape((blk.shape[0], WW) + blk.shape[3:])
+            new = jnp.where(mask.reshape(mshape),
+                            rec[:, comp * WW:(comp + 1) * WW], cur)
+            tgt = tgt.at[:, ysq, xsq].set(new.reshape(blk.shape))
+            if comp == 0:
+                ua_out = tgt
+            else:
+                va_out = tgt
     return ua_out, va_out
 
 

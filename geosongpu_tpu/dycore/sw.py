@@ -612,14 +612,25 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
     vort_abs = vort if vort is not None \
         else _vorticity_abs(s.pu, s.pv, m)        # centers
 
+    # metric-exact corner-dual divergence (flux form): project each
+    # D-wind onto the dual-edge normal ((u - cosa v_t) / sina), weight by
+    # the dual edge length (the center-to-center chord dxc/dyc), and
+    # divide the contour sum by the dual-cell area - FV3's
+    # divergence_corner.  The previous locally-orthogonal differences
+    # were acceptable for a filter but this is a dynamics term fed by
+    # exactly the corner neighborhoods the chart treatment fixed
+    # (round-3 verdict item; same flux-form metric family as transport).
     upad, vpad = s.pu, s.pv
-    du = upad[:, :, 1:] - upad[:, :, :-1]
-    dv = vpad[:, 1:, :] - vpad[:, :-1, :]
-    # reciprocals of the (K=1) metric averages: keeps the K-broadcast
-    # operation a multiply
-    rdx_u = 1.0 / (0.5 * (m.dx[:, 1:-1, :-1] + m.dx[:, 1:-1, 1:]))
-    rdy_v = 1.0 / (0.5 * (m.dy[:, :-1, 1:-1] + m.dy[:, 1:, 1:-1]))
-    div_core = du[:, 1:-1, :] * rdx_u + dv[:, :, 1:-1] * rdy_v
+    vmid = 0.5 * (vpad[:, :, :-1] + vpad[:, :, 1:])
+    vu = _pad_edge(0.5 * (vmid[:, :-1, :] + vmid[:, 1:, :]), 1)
+    uf = (upad - m.cosa_j * vu) * m.rsina_j * m.dyc
+    umid = 0.5 * (upad[:, :-1, :] + upad[:, 1:, :])
+    uv = _pad_edge(0.5 * (umid[:, :, :-1] + umid[:, :, 1:]), 2)
+    vf = (vpad - m.cosa_i * uv) * m.rsina_i * m.dxc
+    du = uf[:, :, 1:] - uf[:, :, :-1]
+    dv = vf[:, 1:, :] - vf[:, :-1, :]
+    div_core = (du[:, 1:-1, :] + dv[:, :, 1:-1]) \
+        * m.rarea_c[:, 1:-1, 1:-1]
     div_c = _pad_edge(_pad_edge(div_core, 1), 2)
 
     # ---- D-grid wind update --------------------------------------------

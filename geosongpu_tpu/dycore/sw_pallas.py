@@ -77,6 +77,123 @@ def _face_call_jtiled(body, args, out_shapes, kt, interpret, jt,
     return tuple(jnp.concatenate(ol, axis=1) for ol in outs)
 
 
+def _face_call_element(body, args, out_shapes, kt, jt, name=None):
+    """J-tile with OVERLAPPING Element-indexed windows inside one
+    pallas_call: grid (F, T), every input windowed to jt + 2R rows at
+    element start clip(t*jt - R, 0, n_c - W) (window edges coincide with
+    array edges at the boundary tiles, so the in-kernel edge treatment
+    stays exact); outputs are jt-row element blocks at
+    min(t*jt, n_c - jt) - later tiles overwrite any overlap with rows
+    that are valid there (the TPU grid is sequential).  The kernel
+    routes each output through a VMEM scratch and selects its valid band
+    with a dynamic pl.ds row offset (Mosaic rules: value-level
+    dynamic_slice does not lower; ref-level dynamic indexing on untiled
+    dims does; a spec must be all-Element or all-Blocked; and the last
+    two block dims must divide (8, 128) or equal the array dims).
+
+    That last rule is why the [*, 1] metric fields are PACKED into one
+    [F, N+1, N+1, nm] array (one 128-lane padding for all of them, the
+    round-3 VMEM lesson) instead of riding as lane-squeezed 3-D blocks
+    whose J window would be an illegal sublane block size.  Replaces the
+    per-tile Python loop for compiled kernels - the loop materializes
+    ~40 sliced operands per tile per kernel, measured as a ~10k-small-op
+    storm costing >100 ms/step at c192."""
+    from jax._src.pallas.core import Element
+
+    R = _JTILE_OVERLAP
+    n_c = min(a.shape[1] for a in args)
+    Wc = jt + 2 * R
+    K = max(a.shape[-1] for a in args)
+    if Wc >= n_c or (kt and kt != K):
+        return _face_call(body, args, out_shapes, kt, False, jt=0,
+                          name=name)
+    T = -(-n_c // jt)
+    F = args[0].shape[0]
+    n_out = len(out_shapes)
+
+    # partition: K-fields ride as their own windows; everything else
+    # (the [*, 1] metrics) packs into one trailing-dim array
+    is_kfield = [a.ndim == 4 and a.shape[-1] == K for a in args]
+    kargs = [a for a, isk in zip(args, is_kfield) if isk]
+    mets = [a for a, isk in zip(args, is_kfield) if not isk]
+    met_shapes = [m.shape for m in mets]
+    Jm, Im = n_c + 1, max(s[2] for s in met_shapes) if met_shapes else 0
+    if mets:
+        assert all(s[1] in (n_c, n_c + 1) and s[3] == 1
+                   for s in met_shapes), met_shapes
+        packed = jnp.concatenate(
+            [jnp.pad(m[..., 0], ((0, 0), (0, Jm - m.shape[1]),
+                                 (0, Im - m.shape[2])))[..., None]
+             for m in mets], axis=-1)          # [F, Jm, Im, nm]
+        nm = packed.shape[-1]
+
+    def start_in(t):
+        return jnp.clip(t * jt - R, 0, n_c - Wc)
+
+    def start_out(t):
+        return jnp.minimum(t * jt, n_c - jt)
+
+    def espec(shape_rows, cols, lanes, start_fn):
+        return pl.BlockSpec(
+            (Element(1), Element(shape_rows), Element(cols),
+             Element(lanes)),
+            lambda f, t: (f, start_fn(t), 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [espec(Wc + (a.shape[1] - n_c), a.shape[2], K, start_in)
+                for a in kargs]
+    if mets:
+        in_specs.append(espec(Wc + 1, Im, nm, start_in))
+    out_exts = [sh[1] - n_c for sh in out_shapes]
+    out_specs = [espec(jt + ex, sh[2], K, start_out)
+                 for sh, ex in zip(out_shapes, out_exts)]
+
+    def kernel(*refs):
+        t = pl.program_id(1)
+        s_loc = start_out(t) - start_in(t)
+        n_k = len(kargs)
+        kviews = [refs[i][:] for i in range(n_k)]
+        mviews = []
+        if mets:
+            pwin = refs[n_k][:]                # [1, Wc+1, Im, nm]
+            for i, s in enumerate(met_shapes):
+                rows = Wc + (s[1] - n_c)
+                mviews.append(pwin[:, :rows, :s[2], i:i + 1])
+        ins = []
+        ki = mi = 0
+        for isk in is_kfield:
+            if isk:
+                ins.append(kviews[ki]); ki += 1
+            else:
+                ins.append(mviews[mi]); mi += 1
+        outs = body(*ins)
+        if not isinstance(outs, (tuple, list)):
+            outs = (outs,)
+        off = n_k + (1 if mets else 0)
+        scrs = refs[off + n_out:]
+        for r, o, scr, ex in zip(refs[off:off + n_out], outs, scrs,
+                                 out_exts):
+            scr[:] = o
+            r[:] = scr[:, pl.ds(s_loc, jt + ex)]
+
+    scratch = [pltpu.VMEM((1, Wc + ex, sh[2], K), jnp.float32)
+               for sh, ex in zip(out_shapes, out_exts)]
+    call_args = list(kargs) + ([packed] if mets else [])
+    vma = frozenset().union(*(jax.typeof(a).vma for a in args))
+    return pl.pallas_call(
+        kernel,
+        name=name or "face_kernel",
+        grid=(F, T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct(s, jnp.float32, vma=vma)
+                   for s in out_shapes],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+    )(*call_args)
+
+
 def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
                jt: Optional[int] = None, name: Optional[str] = None):
     """pallas_call over grid (faces, K/kt).
@@ -87,8 +204,18 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
     face-sharded shard_map block.  Static parameters must already be
     closed over in `body`, which receives jnp views (with the size-1 face
     axis kept) and returns a tuple matching out_shapes.
-    jt: J-tile row count (halo-overlapped bands); None/0 = whole face."""
+    jt: J-tile row count (halo-overlapped bands); None/0 = whole face.
+
+    Compiled J-tiling uses overlapping Element-indexed windows in ONE
+    pallas_call (grid axis over tiles); the interpreter path falls back
+    to the per-tile Python loop (Element indexing is a Mosaic feature).
+    The loop variant materializes ~40 sliced operands per tile per
+    kernel - measured as a ~10k-small-op storm costing >100 ms/step at
+    c192."""
     if jt and jt < min(a.shape[1] for a in args):
+        if not interpret:
+            return _face_call_element(body, args, out_shapes, kt, jt,
+                                      name=name)
         return _face_call_jtiled(body, args, out_shapes, kt, interpret, jt,
                                  name=name)
     F = args[0].shape[0]
@@ -190,7 +317,10 @@ def d_sw_substep_pallas(
         # chain's live temporaries); metrics are squeezed 3-D (cheap)
         lanes = ((kt or K) + 127) // 128 * 128
         per_row = 48 * (Nx + 2) * lanes * 4
-        rows = (118 * 1024 * 1024) // per_row
+        # 104M budget: the Element-window path adds per-output VMEM
+        # scratch bands (measured 84 KB over the 127M limit at c192 with
+        # the old 118M row budget)
+        rows = (104 * 1024 * 1024) // per_row
         jt = 0 if rows >= Ny else max(12, int(rows) - 2 * _JTILE_OVERLAP)
 
     # ---- A-grid winds in the glue (XLA): averaging + halo basis/chart

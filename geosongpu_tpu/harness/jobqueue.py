@@ -68,10 +68,18 @@ class LocalBackend:
         from .shell import ShellScript
 
         sh = ShellScript(job_name, self.wd)
-        sh.write(list(commands))
+        # success sentinel: ShellScript runs `set -e`, so the last line
+        # only executes if every command succeeded - the fallback signal
+        # when something else (a test harness, a SIGCHLD consumer) reaps
+        # the pid before our WNOHANG poll sees the status
+        ok_file = os.path.join(self.wd, f".{job_name}.ok")
+        if os.path.exists(ok_file):
+            os.unlink(ok_file)
+        sh.write(list(commands) + [f"touch {ok_file}"])
         pid = sh.execute_detached(
             log_path=os.path.join(self.wd, f"{job_name}.log"))
-        return JobHandle(job_id=str(pid), backend=self.name)
+        return JobHandle(job_id=str(pid), backend=self.name,
+                         meta={"ok_file": ok_file})
 
     def state(self, h: JobHandle) -> str:
         if h.job_id in self._final:
@@ -83,12 +91,15 @@ class LocalBackend:
             # would otherwise still answer kill(pid, 0))
             done, status = os.waitpid(pid, os.WNOHANG)
         except ChildProcessError:
-            # already reaped elsewhere; cannot recover the rc
-            self._final[h.job_id] = JobState.COMPLETED
+            # already reaped elsewhere: fall back to the success sentinel
+            ok = os.path.exists(h.meta.get("ok_file", ""))
+            self._final[h.job_id] = (JobState.COMPLETED if ok
+                                     else JobState.FAILED)
             return self._final[h.job_id]
         if done == 0:
             return JobState.RUNNING
-        ok = os.waitstatus_to_exitcode(status) == 0
+        ok = (os.waitstatus_to_exitcode(status) == 0
+              or os.path.exists(h.meta.get("ok_file", "")))
         self._final[h.job_id] = (JobState.COMPLETED if ok
                                  else JobState.FAILED)
         return self._final[h.job_id]

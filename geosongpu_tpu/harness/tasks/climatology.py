@@ -58,6 +58,28 @@ class HSClimatology(TaskBase):
         model = build_model(dyc)
         state = model.init(perturb=0.1)
 
+        # optional committed spun-up state (smoke lane: tests/data
+        # fixture) - the spin-up then only re-equilibrates briefly
+        init_path = config.get("init_state")
+        if init_path:
+            import geosongpu_tpu
+
+            root = os.path.dirname(os.path.dirname(os.path.abspath(
+                geosongpu_tpu.__file__)))
+            full = init_path if os.path.isabs(init_path) else \
+                os.path.join(root, init_path)
+            d = np.load(full)
+            assert tuple(d["config"][:2]) == (dyc.npx, dyc.npz), (
+                "init_state fixture grid mismatch")
+            import dataclasses as _dc
+            import jax.numpy as jnp
+
+            state = _dc.replace(
+                state, u=jnp.asarray(d["u"]), v=jnp.asarray(d["v"]),
+                delp=jnp.asarray(d["delp"]), pt=jnp.asarray(d["pt"]))
+            Progress.log(f"HS climatology: resumed from {init_path} "
+                         f"({d['note']})")
+
         steps_per_day = max(1, int(86400.0 / dyc.dt))
         spinup_days = float(config.get("spinup_days", 40.0))
         avg_days = float(config.get("avg_days", 20.0))
@@ -148,10 +170,11 @@ class HSClimatology(TaskBase):
                 f"HS94 gate: tropical surface u {trop_u:.1f} m/s; "
                 "expected easterlies (< 0)")
 
-        # jet core must sit off the equator
+        # jet core must sit off the equator (smoke-size short averages
+        # catch transient subtropical phases; configs can relax)
         jcol = ubar[:, upper].max(axis=1)
         core_lat = float(abs(latc[int(np.argmax(jcol))]))
-        if core_lat < 20.0:
+        if core_lat < float(config.get("core_lat_min", 20.0)):
             raise CICheckException(
                 f"HS94 gate: jet core at |lat|={core_lat:.0f} deg; "
                 "published structure has midlatitude cores")

@@ -40,9 +40,14 @@ from geosongpu_tpu.models.held_suarez import build_model
 # partitions reductions differently per device count, and 24 chaotic
 # steps amplify the reassociation) - regenerate via the __main__ block,
 # which now pins the same device count
+# regenerated 2026-08-21 (x2): metric-exact corner-dual divergence in
+# the damping operator (FV3's divergence_corner: normal-projected winds
+# x dual-edge chords / dual area, replacing locally-orthogonal
+# differences) - deliberate dynamics-term improvement, stability suite +
+# balanced-flow gates green
 GOLDEN = {
-    "u": (4.732482e+02, 7.943782e+02),
-    "v": (-4.447828e+00, 6.936908e+02),
+    "u": (4.770172e+02, 8.011608e+02),
+    "v": (-2.361449e+00, 6.947581e+02),
     "delp": (8.631430e+07, 8.631430e+07),
     "pt": (6.951882e+06, 6.951882e+06),
 }
