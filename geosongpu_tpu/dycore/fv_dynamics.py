@@ -244,8 +244,30 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             a + b for a, b in zip(tacc, (out.crx_pad, out.cry_pad,
                                          out.xfx_pad, out.yfx_pad,
                                          out.mfx_pad, out.mfy_pad)))
-        pads2 = scalar_fills(out.delp, out.pt, q2, w2, delz2) \
-            if cfg.overlap_fills else pads
+        if cfg.overlap_fills:
+            # reuse the substep's mid-step refills of delp/pt (/delz):
+            # they are exactly fill(new interior, "x") - re-exchanging
+            # would repeat the identical halo assembly (measured ~tens of
+            # ms/step of XLA concat fusions at c192).  Only w (NH) and
+            # per-substep tracers still need a fresh exchange.
+            if chart is not None:
+                fx = lambda a: chart.apply_scalar(ops.fill(a, "x"), "x")
+                fy = lambda a, same: same
+            else:
+                fx = lambda a: ops.fill(a, "x")
+                fy = lambda a, same: ops.fill(a, "y")
+            pq = fx(q2) if substep_tracers else zf
+            pw = fx(w2) if nonhydro else zf
+            pads2 = (
+                out.pd_fill, fy(out.delp, out.pd_fill),
+                out.pt_fill, fy(out.pt, out.pt_fill),
+                pq, fy(q2, pq) if substep_tracers else zf,
+                pw, fy(w2, pw) if nonhydro else zf,
+                out.pz_fill if nonhydro else zf,
+                fy(out.delz, out.pz_fill) if nonhydro else zf,
+            )
+        else:
+            pads2 = pads
         # uc/vc ride the CARRY (only the final substep's values are
         # consumed): a scan OUTPUT would stack n_split full copies in HBM
         # (measured ~10 ms/step of dynamic-update-slice at c192)

@@ -504,6 +504,13 @@ class SubstepOut(NamedTuple):
     yfx_pad: jnp.ndarray
     mfx_pad: jnp.ndarray
     mfy_pad: jnp.ndarray
+    # mid-substep x-order refills of the NEW state (computed for the
+    # backward PGF anyway) - fv_dynamics reuses them as the next
+    # substep's padded transport inputs instead of re-exchanging the
+    # same interiors (they are the same function of the same data)
+    pd_fill: Optional[jnp.ndarray] = None
+    pt_fill: Optional[jnp.ndarray] = None
+    pz_fill: Optional[jnp.ndarray] = None
 
 
 def transport_part(s: SWState, m: PaddedMetrics, crx, cry, xfx, yfx,
@@ -789,4 +796,7 @@ def d_sw_substep(
         yfx_pad=yfx,
         mfx_pad=mf.fx,
         mfy_pad=mf.fy,
+        pd_fill=delp_f,
+        pt_fill=pt_f,
+        pz_fill=delz_f if nonhydro else None,
     )

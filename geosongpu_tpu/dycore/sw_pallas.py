@@ -31,6 +31,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -40,6 +41,63 @@ from .sw import (PaddedMetrics, SWState, SubstepOut, _hydrostatic_fields,
                  transport_part, wind_part)
 
 _METRIC_FIELDS = tuple(PaddedMetrics._fields)
+
+
+def _cumsum_hs(v, reverse: bool = False):
+    """Hillis-Steele prefix sum along the LANE (K) axis: log2(K) shifted
+    adds on the VPU.  Inside Mosaic this beats the triangular-matmul form
+    (ops/vertical.py) - the MXU dot on a [rows, 72]x[72, 72] problem per
+    J-window measured ~60% slower than 7 lane-shift adds.  Summation
+    order differs from the matmul by f32 rounding only (~1e-7 relative);
+    the pallas-vs-jnp dycore gate (1e-4) covers it."""
+    K = v.shape[-1]
+    pad0 = ((0, 0),) * (v.ndim - 1)
+    d = 1
+    while d < K:
+        if reverse:
+            v = v + jnp.pad(v, pad0 + ((0, d),))[..., d:]
+        else:
+            v = v + jnp.pad(v, pad0 + ((d, 0),))[..., :K]
+        d *= 2
+    return v
+
+
+def _hydro_fields_kernel(delp, pt, ptop):
+    """In-kernel twin of sw._hydrostatic_fields: HS lane cumsum + pk via
+    exp(kappa * (peln - ln P00)) so the pow's internal log is shared with
+    the peln the pkz formula needs anyway (2 transcendentals, not 3)."""
+    from .sw import CP_AIR, KAPPA, P00
+
+    pad0 = ((0, 0),) * (delp.ndim - 1)
+    pe = ptop + jnp.pad(_cumsum_hs(delp), pad0 + ((1, 0),))
+    peln = jnp.log(pe)
+    pk_iface = jnp.exp(KAPPA * (peln - float(np.log(P00))))
+    dpk = pk_iface[..., 1:] - pk_iface[..., :-1]
+    pkz = dpk / (KAPPA * (peln[..., 1:] - peln[..., :-1]))
+    dphi = CP_AIR * pt * dpk
+    phi_below_incl = _cumsum_hs(dphi, reverse=True)
+    return pkz, phi_below_incl - 0.5 * dphi
+
+
+def _nh_pert_kernel(delp_new, pt_new, delz_new, ptop):
+    """In-kernel twin of sw.nh_perturbation_fields (same cumsum/transc.
+    treatment as _hydro_fields_kernel)."""
+    from .sw import GRAV, KAPPA, P00, RDGAS
+
+    pad0 = ((0, 0),) * (delp_new.ndim - 1)
+    pe1 = ptop + jnp.pad(_cumsum_hs(delp_new), pad0 + ((1, 0),))
+    peln1 = jnp.log(pe1)
+    pk1 = jnp.exp(KAPPA * (peln1 - float(np.log(P00))))
+    pkz1 = (pk1[..., 1:] - pk1[..., :-1]) / (
+        KAPPA * (peln1[..., 1:] - peln1[..., :-1]))
+    p_mid1 = 0.5 * (pe1[..., 1:] + pe1[..., :-1])
+    t1 = pt_new * pkz1
+    rho1 = delp_new / (GRAV * jnp.maximum(delz_new, 1.0))
+    pprime = rho1 * RDGAS * t1 - p_mid1
+    dphi_diff = GRAV * delz_new - RDGAS * t1 * delp_new / p_mid1
+    phip_incl = _cumsum_hs(dphi_diff, reverse=True)
+    phiprime = phip_incl - 0.5 * dphi_diff
+    return pprime, phiprime, rho1
 
 
 # overlap rows per J-tile: covers the deepest per-kernel stencil reach
@@ -350,14 +408,27 @@ def d_sw_substep_pallas(
         # block circulation closes over two owners; see sw.c_sw)
         vort = chart.apply_scalar(vort, "derived")
 
-    # ---- vertical glue: hydrostatic integrals of the half state ---------
-    pkz_h, phi_h = _hydrostatic_fields(delp_h, pt_h, ptop)
-    phi_h = phi_h + m.phis   # terrain (zero for flat experiments)
-
     # ---- kernel 2: c_sw part 2 (time-centered advective winds) ----------
-    def k2(uc, vc, pt_h, pkz, phi, ke, vort, *mets):
-        mm = _metrics_from(mets)
-        uct, vct = c_sw_part2(uc, vc, pt_h, pkz, phi, ke, vort, mm,
+    # COMPILED whole-K kernels integrate the hydrostatic fields of the
+    # half state INSIDE the kernel (cumsum-matmul on the MXU + pk/peln
+    # transcendentals): K rides whole in the lanes of every J-tile,
+    # columns are row-independent, and the XLA glue version cost two
+    # extra full-array HBM round trips per substep (measured ~6 ms/
+    # substep at c192).  The interpreter demotes the in-kernel dot
+    # precision (measured 1e-5 relative on phi, amplified by the PGF),
+    # and a K-tile never sees the whole column - both keep the glue form.
+    fold_vertical = (not interpret) and (not kt or kt == K)
+
+    def k2(*a):
+        if fold_vertical:
+            uc_, vc_, dh, pt_h_, ke_, vo = a[:6]
+            mm = _metrics_from(a[6:])
+            pkz, phi = _hydro_fields_kernel(dh, pt_h_, ptop)
+            phi = phi + mm.phis   # terrain (zero for flat experiments)
+        else:
+            uc_, vc_, pt_h_, pkz, phi, ke_, vo = a[:7]
+            mm = _metrics_from(a[7:])
+        uct, vct = c_sw_part2(uc_, vc_, pt_h_, pkz, phi, ke_, vo, mm,
                               0.5 * dt)
         crx = uct * dt * mm.rdxc
         cry = vct * dt * mm.rdyc
@@ -365,9 +436,14 @@ def d_sw_substep_pallas(
         yfx = vct * dt * mm.dx
         return uct, vct, crx, cry, xfx, yfx
 
+    if fold_vertical:
+        k2_in = [uc, vc, delp_h, pt_h, ke, vort]
+    else:
+        pkz_h, phi_h = _hydrostatic_fields(delp_h, pt_h, ptop)
+        phi_h = phi_h + m.phis
+        k2_in = [uc, vc, pt_h, pkz_h, phi_h, ke, vort]
     uct, vct, crx, cry, xfx, yfx = _face_call(
-        k2,
-        [uc, vc, pt_h, pkz_h, phi_h, ke, vort] + _metrics_args(m),
+        k2, k2_in + _metrics_args(m),
         [(F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K), (F, Ny, Nx + 1, K),
          (F, Ny + 1, Nx, K), (F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K)],
         kt, interpret, jt=jt, name="dsw_csw2")
@@ -448,40 +524,63 @@ def d_sw_substep_pallas(
         delz_new = jnp.maximum(delz_new, 1.0)
         w_new = 0.5 * (w_if[..., :-1] + w_if[..., 1:])
         delz_f = refill(delz_new[islice])
-        nh_fields = nh_perturbation_fields(delp_f, pt_f, delz_f, ptop)
     else:
         w_new = delz_new = None
-        nh_fields = None
-
-    pkz, phi_mid = _hydrostatic_fields(delp_f, pt_f, ptop)
-    phi_mid = phi_mid + m.phis
 
     # ---- kernel 4: D-grid wind update -----------------------------------
+    # like k2, the compiled whole-K kernel integrates the backward-PGF
+    # column fields (pkz/phi and the NH perturbations) INSIDE the kernel
+    # from the refilled delp/pt(/delz)
     use_vort = chart is not None
+    fold_k4 = fold_vertical
 
-    def k4(pu, pv, uct, vct, crx, cry, pt_new, pkz, phi, *rest):
+    def k4(pu, pv, uct, vct, crx, cry, *rest):
+        if fold_k4:
+            delp_fb, pt_fb = rest[:2]
+            rest = rest[2:]
+        else:
+            pt_fb, pkz, phi = rest[:3]
+            rest = rest[3:]
         if use_vort:
             vrt = rest[0]
             rest = rest[1:]
         else:
             vrt = None
         if nonhydro:
-            nh = tuple(rest[:3])
-            mets = rest[3:]
+            nh_in = rest[:1] if fold_k4 else tuple(rest[:3])
+            mets = rest[(1 if fold_k4 else 3):]
         else:
-            nh = None
+            nh_in = None
             mets = rest
+        mm = _metrics_from(mets)
+        if fold_k4:
+            pkz, phi = _hydro_fields_kernel(delp_fb, pt_fb, ptop)
+            phi = phi + mm.phis
+            nh = _nh_pert_kernel(delp_fb, pt_fb, nh_in[0], ptop) \
+                if nonhydro else None
+        else:
+            nh = nh_in
         st = SWState(pu=pu, pv=pv, pd_x=None, pd_y=None, pt_x=None,
                      pt_y=None, pq_x=None, pq_y=None)
-        return wind_part(st, _metrics_from(mets), uct, vct, crx, cry,
-                         pt_new, pkz, phi, nh, dt, hord, d2_bg,
+        return wind_part(st, mm, uct, vct, crx, cry,
+                         pt_fb, pkz, phi, nh, dt, hord, d2_bg,
                          hord_mt=hord_mt, vort=vrt)
 
-    w_in = [s.pu, s.pv, uct, vct, crx, cry, pt_f, pkz, phi_mid]
-    if use_vort:
-        w_in += [vort]
-    if nonhydro:
-        w_in += list(nh_fields)
+    if fold_k4:
+        w_in = [s.pu, s.pv, uct, vct, crx, cry, delp_f, pt_f]
+        if use_vort:
+            w_in += [vort]
+        if nonhydro:
+            w_in += [delz_f]
+    else:
+        pkz, phi_mid = _hydrostatic_fields(delp_f, pt_f, ptop)
+        phi_mid = phi_mid + m.phis
+        w_in = [s.pu, s.pv, uct, vct, crx, cry, pt_f, pkz, phi_mid]
+        if use_vort:
+            w_in += [vort]
+        if nonhydro:
+            w_in += list(nh_perturbation_fields(delp_f, pt_f, delz_f,
+                                                ptop))
     u_new, v_new = _face_call(
         k4, w_in + _metrics_args(m),
         [(F, Ny + 1, Nx, K), (F, Ny, Nx + 1, K)], kt, interpret, jt=jt,
@@ -505,4 +604,7 @@ def d_sw_substep_pallas(
         yfx_pad=yfx,
         mfx_pad=mfx_pad,
         mfy_pad=mfy_pad,
+        pd_fill=delp_f,
+        pt_fill=pt_f,
+        pz_fill=delz_f if nonhydro else None,
     )
