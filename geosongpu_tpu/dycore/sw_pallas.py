@@ -160,20 +160,45 @@ def _face_call_element(body, args, out_shapes, kt, jt, name=None):
 
     R = _JTILE_OVERLAP
     n_c = min(a.shape[1] for a in args)
-    Wc = jt + 2 * R
     K = max(a.shape[-1] for a in args)
-    if Wc >= n_c or (kt and kt != K):
+    if jt + 2 * R >= n_c or (kt and kt != K):
         return _face_call(body, args, out_shapes, kt, False, jt=0,
                           name=name)
-    T = -(-n_c // jt)
     F = args[0].shape[0]
     n_out = len(out_shapes)
 
     # partition: K-fields ride as their own windows; everything else
     # (the [*, 1] metrics) packs into one trailing-dim array
     is_kfield = [a.ndim == 4 and a.shape[-1] == K for a in args]
-    kargs = [a for a, isk in zip(args, is_kfield) if isk]
+    kargs_all = [a for a, isk in zip(args, is_kfield) if isk]
     mets = [a for a, isk in zip(args, is_kfield) if not isk]
+    # identity-dedup the K-field windows: chart mode passes ONE corrected
+    # fill as both the x- and y-order operand (sw.fill_substep) - a
+    # single DMA'd window serves both positions (less HBM traffic AND
+    # less VMEM, which feeds straight into a taller J-tile below)
+    kargs, kpos = [], []
+    for a in kargs_all:
+        for i, u in enumerate(kargs):
+            if a is u:
+                kpos.append(i)
+                break
+        else:
+            kpos.append(len(kargs))
+            kargs.append(a)
+
+    # per-kernel J-tile height: the caller's jt is calibrated for the
+    # heaviest kernel (transport); kernels with fewer unique windows
+    # afford taller tiles, shrinking the (jt+2R)/jt overlap re-read.
+    # Pane model: ~2 VMEM panes per window per row (double-buffered DMA)
+    # + ~24 panes of body temporaries, each (Im+2) x 128-padded-lanes.
+    lanes = (K + 127) // 128 * 128
+    im_all = max(a.shape[2] for a in args)
+    n_win = len(kargs) + (1 if mets else 0) + n_out
+    per_row = (2 * n_win + 24) * (im_all + 2) * lanes * 4
+    rows = (100 * 1024 * 1024) // per_row
+    jt = min(max(jt, int(rows) - 2 * R), n_c - 2 * R)
+    Wc = jt + 2 * R
+    T = -(-n_c // jt)
     met_shapes = [m.shape for m in mets]
     Jm, Im = n_c + 1, max(s[2] for s in met_shapes) if met_shapes else 0
     if mets:
@@ -221,7 +246,7 @@ def _face_call_element(body, args, out_shapes, kt, jt, name=None):
         ki = mi = 0
         for isk in is_kfield:
             if isk:
-                ins.append(kviews[ki]); ki += 1
+                ins.append(kviews[kpos[ki]]); ki += 1
             else:
                 ins.append(mviews[mi]); mi += 1
         outs = body(*ins)
@@ -279,15 +304,27 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
     F = args[0].shape[0]
     K = max(a.shape[-1] for a in args)
     kt = kt or K
-    n_in = len(args)
+
+    # identity-dedup: chart mode passes one corrected fill as both the
+    # x- and y-order operand; a single block serves both positions
+    uniq, pos = [], []
+    for a in args:
+        for i, u in enumerate(uniq):
+            if a is u:
+                pos.append(i)
+                break
+        else:
+            pos.append(len(uniq))
+            uniq.append(a)
 
     # [*, 1]-trailing (metric) inputs: a 4-D window would pad the size-1
     # lane dim to 128 - measured at c192: every 2-D metric window then
     # costs as much as a full K-field window (5.5 MB x 16 metrics blew
     # VMEM).  Squeeze them to 3-D blocks (lanes = I) and re-expand inside
     # the kernel.
-    squeezed = [a.ndim == 4 and a.shape[-1] == 1 and K != 1 for a in args]
-    args = [a[..., 0] if sq else a for a, sq in zip(args, squeezed)]
+    squeezed = [a.ndim == 4 and a.shape[-1] == 1 and K != 1 for a in uniq]
+    uargs = [a[..., 0] if sq else a for a, sq in zip(uniq, squeezed)]
+    n_u = len(uargs)
 
     def spec(shape):
         if len(shape) == 4 and shape[-1] == K and K != 1:
@@ -300,29 +337,30 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
             memory_space=pltpu.VMEM)
 
     def kernel(*refs):
-        ins = [r[:][..., None] if sq else r[:]
-               for r, sq in zip(refs[:n_in], squeezed)]
+        uviews = [r[:][..., None] if sq else r[:]
+                  for r, sq in zip(refs[:n_u], squeezed)]
+        ins = [uviews[p] for p in pos]
         outs = body(*ins)
         if not isinstance(outs, (tuple, list)):
             outs = (outs,)
-        for r, o in zip(refs[n_in:], outs):
+        for r, o in zip(refs[n_u:], outs):
             r[:] = o
 
     # inside shard_map the outputs vary over the same mesh axes as the
     # inputs (per-device blocks); propagate the vma so check_vma passes
-    vma = frozenset().union(*(jax.typeof(a).vma for a in args))
+    vma = frozenset().union(*(jax.typeof(a).vma for a in uargs))
     return pl.pallas_call(
         kernel,
         name=name or "face_kernel",
         grid=(F, K // kt),
-        in_specs=[spec(a.shape) for a in args],
+        in_specs=[spec(a.shape) for a in uargs],
         out_specs=[spec(s) for s in out_shapes],
         out_shape=[jax.ShapeDtypeStruct(s, jnp.float32, vma=vma)
                    for s in out_shapes],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=127 * 1024 * 1024),
-    )(*args)
+    )(*uargs)
 
 
 def _metrics_args(m: PaddedMetrics):
@@ -430,11 +468,7 @@ def d_sw_substep_pallas(
             mm = _metrics_from(a[7:])
         uct, vct = c_sw_part2(uc_, vc_, pt_h_, pkz, phi, ke_, vo, mm,
                               0.5 * dt)
-        crx = uct * dt * mm.rdxc
-        cry = vct * dt * mm.rdyc
-        xfx = uct * dt * mm.dy
-        yfx = vct * dt * mm.dx
-        return uct, vct, crx, cry, xfx, yfx
+        return uct, vct
 
     if fold_vertical:
         k2_in = [uc, vc, delp_h, pt_h, ke, vort]
@@ -442,33 +476,49 @@ def d_sw_substep_pallas(
         pkz_h, phi_h = _hydrostatic_fields(delp_h, pt_h, ptop)
         phi_h = phi_h + m.phis
         k2_in = [uc, vc, pt_h, pkz_h, phi_h, ke, vort]
-    uct, vct, crx, cry, xfx, yfx = _face_call(
+    uct, vct = _face_call(
         k2, k2_in + _metrics_args(m),
-        [(F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K), (F, Ny, Nx + 1, K),
-         (F, Ny + 1, Nx, K), (F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K)],
+        [(F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K)],
         kt, interpret, jt=jt, name="dsw_csw2")
 
+    # Courant / area-flux factors: NOT kernel outputs - the downstream
+    # kernels (k3/k3b/k4) rebuild them in-VMEM from uct/vct with the
+    # SAME expressions (bit-identical f32 mults), which drops four
+    # full-array HBM writes + reads per substep.  These XLA copies exist
+    # only for SubstepOut (the z_tracer accumulation fuses the mults
+    # into its adds; DCE removes them when nothing consumes them).
+    crx = uct * dt * m.rdxc
+    cry = vct * dt * m.rdyc
+    xfx = uct * dt * m.dy
+    yfx = vct * dt * m.dx
+
+    def _courant(uct_, vct_, mm):
+        return (uct_ * dt * mm.rdxc, vct_ * dt * mm.rdyc,
+                uct_ * dt * mm.dy, vct_ * dt * mm.dx)
+
     # ---- kernel 3: all PPM transport ------------------------------------
-    def k3(pdx, pdy, ptx, pty, crx, cry, xfx, yfx, *rest):
+    def k3(pdx, pdy, ptx, pty, uct_, vct_, *rest):
         if nonhydro:
             pwx, pwy, pzx, pzy = rest[:4]
             mets = rest[4:]
         else:
             pwx = pwy = pzx = pzy = None
             mets = rest
+        mm = _metrics_from(mets)
+        crx_, cry_, xfx_, yfx_ = _courant(uct_, vct_, mm)
         st = SWState(pu=None, pv=None,  # unused by transport_part
                      pd_x=pdx, pd_y=pdy, pt_x=ptx, pt_y=pty,
                      pq_x=None, pq_y=None,
                      pw_x=pwx, pw_y=pwy, pz_x=pzx, pz_y=pzy)
         delp_new, pt_new, w_adv, delz_adv, _q, mf = transport_part(
-            st, _metrics_from(mets), crx, cry, xfx, yfx, hord, False,
+            st, mm, crx_, cry_, xfx_, yfx_, hord, False,
             hord_tm=hord_tm)
         outs = (delp_new, pt_new, mf.fx, mf.fy)
         if nonhydro:
             outs = outs + (w_adv, delz_adv)
         return outs
 
-    t_in = [s.pd_x, s.pd_y, s.pt_x, s.pt_y, crx, cry, xfx, yfx]
+    t_in = [s.pd_x, s.pd_y, s.pt_x, s.pt_y, uct, vct]
     t_out = [(F, Ny, Nx, K), (F, Ny, Nx, K), (F, Ny, Nx + 1, K),
              (F, Ny + 1, Nx, K)]
     if nonhydro:
@@ -481,10 +531,11 @@ def d_sw_substep_pallas(
 
     # ---- kernel 3b: tracers (per tracer, reusing the mass fluxes) -------
     if s.pq_x is not None and advect_tracers:
-        def k3b(qx, qy, pdx, dnew, crx, cry, xfx, yfx, mfx, mfy, *mets):
+        def k3b(qx, qy, pdx, dnew, uct_, vct_, mfx, mfy, *mets):
             from ..ops.fvtp2d import ddx, ddy, fvtp2d
             mm = _metrics_from(mets)
-            qf = fvtp2d(qx, qy, crx, cry, xfx, yfx, mm.area, hord=hord,
+            crx_, cry_, xfx_, yfx_ = _courant(uct_, vct_, mm)
+            qf = fvtp2d(qx, qy, crx_, cry_, xfx_, yfx_, mm.area, hord=hord,
                         mfx=mfx, mfy=mfy)
             return (qx * pdx + (ddx(qf.fx) + ddy(qf.fy)) * mm.rarea) / dnew
 
@@ -493,7 +544,7 @@ def d_sw_substep_pallas(
             (qt,) = _face_call(
                 k3b,
                 [s.pq_x[..., t], s.pq_y[..., t], s.pd_x, delp_new,
-                 crx, cry, xfx, yfx, mfx_pad, mfy_pad] + _metrics_args(m),
+                 uct, vct, mfx_pad, mfy_pad] + _metrics_args(m),
                 [(F, Ny, Nx, K)], kt, interpret, jt=jt, name="dsw_tracer")
             qs.append(qt)
         q_new = jnp.stack(qs, axis=-1)
@@ -534,7 +585,7 @@ def d_sw_substep_pallas(
     use_vort = chart is not None
     fold_k4 = fold_vertical
 
-    def k4(pu, pv, uct, vct, crx, cry, *rest):
+    def k4(pu, pv, uct, vct, *rest):
         if fold_k4:
             delp_fb, pt_fb = rest[:2]
             rest = rest[2:]
@@ -553,6 +604,7 @@ def d_sw_substep_pallas(
             nh_in = None
             mets = rest
         mm = _metrics_from(mets)
+        crx_, cry_ = uct * dt * mm.rdxc, vct * dt * mm.rdyc
         if fold_k4:
             pkz, phi = _hydro_fields_kernel(delp_fb, pt_fb, ptop)
             phi = phi + mm.phis
@@ -562,12 +614,12 @@ def d_sw_substep_pallas(
             nh = nh_in
         st = SWState(pu=pu, pv=pv, pd_x=None, pd_y=None, pt_x=None,
                      pt_y=None, pq_x=None, pq_y=None)
-        return wind_part(st, mm, uct, vct, crx, cry,
+        return wind_part(st, mm, uct, vct, crx_, cry_,
                          pt_fb, pkz, phi, nh, dt, hord, d2_bg,
                          hord_mt=hord_mt, vort=vrt)
 
     if fold_k4:
-        w_in = [s.pu, s.pv, uct, vct, crx, cry, delp_f, pt_f]
+        w_in = [s.pu, s.pv, uct, vct, delp_f, pt_f]
         if use_vort:
             w_in += [vort]
         if nonhydro:
@@ -575,7 +627,7 @@ def d_sw_substep_pallas(
     else:
         pkz, phi_mid = _hydrostatic_fields(delp_f, pt_f, ptop)
         phi_mid = phi_mid + m.phis
-        w_in = [s.pu, s.pv, uct, vct, crx, cry, pt_f, pkz, phi_mid]
+        w_in = [s.pu, s.pv, uct, vct, pt_f, pkz, phi_mid]
         if use_vort:
             w_in += [vort]
         if nonhydro:
