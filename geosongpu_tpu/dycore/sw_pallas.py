@@ -108,6 +108,17 @@ def _nh_pert_kernel(delp_new, pt_new, delz_new, ptop):
 _JTILE_OVERLAP = 4
 
 
+def _auto_jt(Ny: int, Nx: int, K: int, kt) -> int:
+    """Seed J-tile height: whole-face (0) when a face fits VMEM, else a
+    conservative band calibrated against the c192 vmem dumps (the worst
+    kernel costs ~48 lane-padded row-panes per input row).  The element-
+    window path re-sizes per kernel from its own window count."""
+    lanes = ((kt or K) + 127) // 128 * 128
+    per_row = 48 * (Nx + 2) * lanes * 4
+    rows = (104 * 1024 * 1024) // per_row
+    return 0 if rows >= Ny else max(12, int(rows) - 2 * _JTILE_OVERLAP)
+
+
 def _face_call_jtiled(body, args, out_shapes, kt, interpret, jt,
                       name=None):
     """J-tile a whole-face kernel: run `body` on overlapping row bands
@@ -363,6 +374,45 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
     )(*uargs)
 
 
+def tracer_interval_advect_pallas(qxs, qys, pd_x, crx, cry, xfx, yfx,
+                                  mfx, mfy, m: PaddedMetrics, hord: int,
+                                  interpret=None, kt=None):
+    """One z_tracer subcycle (fv_dynamics._advect_tracers_accumulated):
+    interval delp update + per-tracer fvtp2d with the accumulated
+    Courant/area/mass fluxes, fused as face kernels.  The XLA form
+    materializes the full PPM stencil chain per tracer in HBM - measured
+    ~12 ms/step at c192-L72 for one tracer.
+
+    Returns (delp_new_padded, [q_new_padded per tracer]); the caller
+    slices interiors."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    F, Ny, _, K = pd_x.shape
+    Nx = Ny  # square faces padded identically (blocks may be rectangular)
+    Nx = pd_x.shape[2]
+    jt = _auto_jt(Ny, Nx, K, kt)
+
+    def kq(qx, qy, pdx, crx_, cry_, xfx_, yfx_, mfx_, mfy_, *mets):
+        from ..ops.fvtp2d import ddx, ddy, fvtp2d
+        mm = _metrics_from(mets)
+        delp_new = pdx + (ddx(mfx_) + ddy(mfy_)) * mm.rarea
+        qf = fvtp2d(qx, qy, crx_, cry_, xfx_, yfx_, mm.area, hord=hord,
+                    mfx=mfx_, mfy=mfy_)
+        qdp = qx * pdx + (ddx(qf.fx) + ddy(qf.fy)) * mm.rarea
+        return delp_new, qdp / delp_new
+
+    dnew = None
+    q_new = []
+    for qx, qy in zip(qxs, qys):
+        dnew, qn = _face_call(
+            kq, [qx, qy, pd_x, crx, cry, xfx, yfx, mfx, mfy]
+            + _metrics_args(m),
+            [(F, Ny, Nx, K), (F, Ny, Nx, K)], kt, interpret, jt=jt,
+            name="dsw_tracer_acc")
+        q_new.append(qn)
+    return dnew, q_new
+
+
 def _metrics_args(m: PaddedMetrics):
     return [getattr(m, f) for f in _METRIC_FIELDS]
 
@@ -407,17 +457,7 @@ def d_sw_substep_pallas(
     nonhydro = s.pz_x is not None
     nm = len(_METRIC_FIELDS)
     if jt is None:
-        # auto: calibrated against the c192 vmem dumps - the worst kernel
-        # costs ~48 lane-padded row-panes per input row (12 double-
-        # buffered K-field windows + ~78M of body scratch for the fused
-        # chain's live temporaries); metrics are squeezed 3-D (cheap)
-        lanes = ((kt or K) + 127) // 128 * 128
-        per_row = 48 * (Nx + 2) * lanes * 4
-        # 104M budget: the Element-window path adds per-output VMEM
-        # scratch bands (measured 84 KB over the 127M limit at c192 with
-        # the old 118M row budget)
-        rows = (104 * 1024 * 1024) // per_row
-        jt = 0 if rows >= Ny else max(12, int(rows) - 2 * _JTILE_OVERLAP)
+        jt = _auto_jt(Ny, Nx, K, kt)
 
     # ---- A-grid winds in the glue (XLA): averaging + halo basis/chart
     # machinery + the cube-corner chart reconstruction - kept OUTSIDE the
