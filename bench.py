@@ -55,19 +55,33 @@ def main() -> int:
     model = build_model(cfg)
     state = model.init(perturb=1e-3)
 
-    # warm-up (compile), excluded - mirrors the reference's cache-build run
-    state = model.step_fn(state)
-    state.u.block_until_ready()
-
-    # pipelined measurement: steps dispatch back-to-back with one final
-    # device sync, matching how production runs execute (lax.scan loops);
-    # per-step host sync would add the full host<->device round trip to
-    # every step and measure the link, not the chip
-    t0 = time.perf_counter()
-    for _ in range(steps):
+    # warm-up (compile + tunnel pipeline spin-up), excluded - mirrors the
+    # reference's cache-build run; the first dispatch after compile was
+    # measured ~700 ms over the tunnel vs ~16 ms steady-state
+    for _ in range(3):
         state = model.step_fn(state)
-    state.u.block_until_ready()
-    med = (time.perf_counter() - t0) / steps
+    # the sync primitive: a 4-byte reduce pulled to host.  block_until_ready
+    # alone was observed (round 5) to return early on the tunneled runtime,
+    # yielding impossible rates; materializing a value on the host cannot
+    # lie about completion.
+    float(state.u[0, 0, 0, 0])
+
+    # pipelined measurement: steps dispatch back-to-back with one sync per
+    # block, matching how production runs execute (lax.scan loops);
+    # per-step host sync would add the full host<->device round trip to
+    # every step and measure the link, not the chip.  BLOCKS repeats give
+    # a dispersion estimate (reference discipline: median over steps,
+    # /root/reference/src/tcn/benchmark/report.py:152-164).
+    blocks = int(os.environ.get("BENCH_BLOCKS", "5"))
+    rates = []
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state = model.step_fn(state)
+        float(state.u[0, 0, 0, 0])
+        rates.append((time.perf_counter() - t0) / steps)
+    rates.sort()
+    med = rates[len(rates) // 2]
     gps = cfg.grid_points / med
 
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -85,6 +99,9 @@ def main() -> int:
         "value": round(gps, 1),
         "unit": "gridpoints/s",
         "vs_baseline": round(vs, 3),
+        "ms_per_step_median": round(med * 1e3, 3),
+        "ms_per_step_blocks": [round(r * 1e3, 3) for r in rates],
+        "steps_per_block": steps,
     }
     # cite the measured per-kernel roofline artifact when present
     # (scripts/roofline.py; BASELINE.md kernel-efficiency row)

@@ -203,13 +203,14 @@ def measure_phases(model, state, inner: int = 30,
         Nx = ops.nx + 2 * ops.h
         F, K = state.delp.shape[0], state.delp.shape[-1]
         tacc = (jnp.zeros((F, Ny, Nx + 1, K)), jnp.zeros((F, Ny + 1, Nx, K)),
-                jnp.zeros((F, Ny, Nx + 1, K)), jnp.zeros((F, Ny + 1, Nx, K)),
                 jnp.zeros((F, Ny, Nx + 1, K)), jnp.zeros((F, Ny + 1, Nx, K)))
+        dt_ac = cfg.dt / (cfg.k_split * cfg.n_split)
 
         @jax.jit
         def stage_tracer(q):
             return _advect_tracers_accumulated(q, state.delp, tacc, ops, m,
-                                               cfg.hord, cfg.q_split)
+                                               cfg.hord, cfg.q_split, dt_ac,
+                                               pallas=cfg.pallas_dycore)
 
         stage_phases["tracer transport"] = _chain_time(
             stage_tracer, (state.q,), inner=inner) * cfg.k_split

@@ -497,11 +497,15 @@ class SubstepOut(NamedTuple):
     uc: jnp.ndarray       # interior time-centered C-grid winds
     vc: jnp.ndarray
     # padded per-substep transport quantities, for accumulated-flux tracer
-    # advection over the remap interval (FV3's z_tracer mode)
-    crx_pad: jnp.ndarray  # [6, N, N+1, K]
-    cry_pad: jnp.ndarray  # [6, N+1, N, K]
-    xfx_pad: jnp.ndarray
-    yfx_pad: jnp.ndarray
+    # advection over the remap interval (FV3's z_tracer mode).  Only the
+    # advective winds and mass fluxes are carried: the Courant/area-flux
+    # factors are uct/vct times STATIC metrics, so accumulating uct/vct
+    # and multiplying once per remap interval gives the same accumulated
+    # factors (f32 reassociation only) at 2 fewer full-array
+    # accumulations per substep (measured ~11 ms/step of HBM passes at
+    # c192-L72)
+    uct_pad: jnp.ndarray  # [6, N, N+1, K]
+    vct_pad: jnp.ndarray  # [6, N+1, N, K]
     mfx_pad: jnp.ndarray
     mfy_pad: jnp.ndarray
     # mid-substep x-order refills of the NEW state (computed for the
@@ -790,10 +794,8 @@ def d_sw_substep(
         mfy=mf.fy[:, h:h + ny + 1, h:h + nx],
         uc=uct[:, h:h + ny, h:h + nx + 1],
         vc=vct[:, h:h + ny + 1, h:h + nx],
-        crx_pad=crx,
-        cry_pad=cry,
-        xfx_pad=xfx,
-        yfx_pad=yfx,
+        uct_pad=uct,
+        vct_pad=vct,
         mfx_pad=mf.fx,
         mfy_pad=mf.fy,
         pd_fill=delp_f,

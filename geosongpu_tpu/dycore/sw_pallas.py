@@ -524,14 +524,9 @@ def d_sw_substep_pallas(
     # Courant / area-flux factors: NOT kernel outputs - the downstream
     # kernels (k3/k3b/k4) rebuild them in-VMEM from uct/vct with the
     # SAME expressions (bit-identical f32 mults), which drops four
-    # full-array HBM writes + reads per substep.  These XLA copies exist
-    # only for SubstepOut (the z_tracer accumulation fuses the mults
-    # into its adds; DCE removes them when nothing consumes them).
-    crx = uct * dt * m.rdxc
-    cry = vct * dt * m.rdyc
-    xfx = uct * dt * m.dy
-    yfx = vct * dt * m.dx
-
+    # full-array HBM writes + reads per substep.  The z_tracer
+    # accumulation likewise carries uct/vct and multiplies the static
+    # metric factors once per remap interval (see SubstepOut).
     def _courant(uct_, vct_, mm):
         return (uct_ * dt * mm.rdxc, vct_ * dt * mm.rdyc,
                 uct_ * dt * mm.dy, vct_ * dt * mm.dx)
@@ -690,10 +685,8 @@ def d_sw_substep_pallas(
         mfy=mfy_pad[:, h:h + ny + 1, h:h + nx],
         uc=uct[:, h:h + ny, h:h + nx + 1],
         vc=vct[:, h:h + ny + 1, h:h + nx],
-        crx_pad=crx,
-        cry_pad=cry,
-        xfx_pad=xfx,
-        yfx_pad=yfx,
+        uct_pad=uct,
+        vct_pad=vct,
         mfx_pad=mfx_pad,
         mfy_pad=mfy_pad,
         pd_fill=delp_f,

@@ -36,13 +36,18 @@ def run_rung(npx: int, npz: int, steps: int) -> dict:
     return {"config": f"c{npx}-L{npz}",
             "gridpoints_per_s_per_chip": gps,
             "ms_per_step": round(1e3 * 6 * npx * npx * npz / gps, 2),
+            "ms_per_step_blocks": d.get("ms_per_step_blocks"),
             "vs_round1_anchor": d.get("vs_baseline")}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results/bench_ladder_r3.json")
-    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=20)  # == bench.py default
+    # (bench.py and the ladder share steps/warmup/sync discipline so the
+    # headline and ladder numbers for the same config agree; the
+    # round-4 7% gap came from 20- vs 10-step blocks with no dispersion
+    # bar on either)
     ap.add_argument("--npz", type=int, default=72)
     ap.add_argument("--rungs", default="48,192")
     args = ap.parse_args()
