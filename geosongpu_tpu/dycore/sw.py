@@ -37,6 +37,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.grid import CP_AIR, GRAV, KAPPA, RDGAS, Grid
 from ..ops.fvtp2d import ddx, ddy, fvtp2d
@@ -349,6 +350,77 @@ def _hydrostatic_fields(delp, pt, ptop):
 # c_sw: half-step -> time-centered C-grid winds
 # --------------------------------------------------------------------------
 
+# support-layout cache for the strip-form A-grid correction: keyed by the
+# id of the metric array so each PaddedMetrics is probed once per process
+_AGRID_SUPPORT_CACHE: dict = {}
+
+
+def _agrid_strip_ok(m: PaddedMetrics) -> bool:
+    """True when every A-grid halo correction field has the band-confined
+    support the strip path assumes: all 8 fields zero outside the h-wide
+    frame, jwm/jwp confined to the W/E column bands, iwm/iwp to the S/N
+    row bands (h inferred as (padded - interior)/2 is not available here,
+    so the frame width is probed from the fields themselves).  Falls back
+    to the full-array path under tracing (sharded shard_map bodies) or
+    any support violation."""
+    key = id(m.dr11)
+    hit = _AGRID_SUPPORT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        fields = {}
+        for name in ("dr11", "r12", "r21", "dr22",
+                     "jwm", "jwp", "iwm", "iwp"):
+            a = np.asarray(getattr(m, name))
+            fields[name] = a[..., 0] if a.ndim == 4 else a
+    except Exception:          # traced values (shard_map body): full path
+        _AGRID_SUPPORT_CACHE[key] = False
+        return False
+    Ny, Nx = fields["dr11"].shape[1:3]
+    b = _agrid_band(m)
+    ok = True
+    for name, a in fields.items():
+        if (a[:, b:Ny - b, b:Nx - b] != 0.0).any():
+            ok = False
+        if name in ("jwm", "jwp") and (a[:, :, b:Nx - b] != 0.0).any():
+            ok = False
+        if name in ("iwm", "iwp") and (a[:, b:Ny - b, :] != 0.0).any():
+            ok = False
+    _AGRID_SUPPORT_CACHE[key] = ok
+    return ok
+
+
+def _agrid_band(m: PaddedMetrics) -> int:
+    """Frame width of the halo corrections == the halo width h: the jwm
+    field is nonzero exactly on the W/E halo column bands, so h is the
+    run of leading nonzero columns."""
+    a = np.asarray(m.jwm)
+    a = a[..., 0] if a.ndim == 4 else a
+    col_any = a.any(axis=(0, 1))
+    if col_any.all() or not col_any[0]:
+        return 3
+    return int(np.argmin(col_any))
+
+
+def _rot(ua, va, dr11, r12, r21, dr22):
+    return (ua + (dr11 * ua + r12 * va),
+            va + (r21 * ua + dr22 * va))
+
+
+def _resample_y_strip(a, jwm, jwp):
+    """y-direction chart resample on a full-height column strip (the
+    deviation form of _resample_to_chart's first pass)."""
+    am = _pad_edge(a, 1, before=1, after=0)[:, :-1]
+    ap = _pad_edge(a, 1, before=0, after=1)[:, 1:]
+    return a + (jwm * (am - a) + jwp * (ap - a))
+
+
+def _resample_x_strip(a, iwm, iwp):
+    am = _pad_edge(a, 2, before=1, after=0)[:, :, :-1]
+    ap = _pad_edge(a, 2, before=0, after=1)[:, :, 1:]
+    return a + (iwm * (am - a) + iwp * (ap - a))
+
+
 def a_grid_winds(pu, pv, m: PaddedMetrics):
     """Chart-consistent A-grid winds from the padded D-grid fills.
 
@@ -361,14 +433,78 @@ def a_grid_winds(pu, pv, m: PaddedMetrics):
     cells.  The cube-corner L-regions (where this per-cell machinery
     cannot be exact - the chimera) are overwritten by the chart
     reconstruction in the substep glue (core/chart_corners.apply_agrid)
-    when DycoreConfig.chart_corners is on."""
+    when DycoreConfig.chart_corners is on.
+
+    Every correction is supported only on the h-wide halo frame, so the
+    hot path computes them on thin strips and adds the zero-padded deltas
+    in ONE fused full-array pass: the full-array rotation + two-direction
+    resample chain cost ~23 ms/step of pure HBM passes at c192-L72
+    (measured round 5); the strip form leaves two passes per field (the
+    average and the delta add).  Bit-identical to the full chain: the
+    corrections it skips are exact f32 zeros (support asserted per
+    metrics set, with a full-array fallback)."""
     ua = _avg_u_to_center(pu)
     va = _avg_v_to_center(pv)
-    ua, va = (ua + (m.dr11 * ua + m.r12 * va),
-              va + (m.r21 * ua + m.dr22 * va))
-    ua = _resample_to_chart(ua, m)
-    va = _resample_to_chart(va, m)
-    return ua, va
+    if not _agrid_strip_ok(m):
+        ua, va = _rot(ua, va, m.dr11, m.r12, m.r21, m.dr22)
+        ua = _resample_to_chart(ua, m)
+        va = _resample_to_chart(va, m)
+        return ua, va
+
+    b = _agrid_band(m)
+    Ny, Nx = ua.shape[1], ua.shape[2]
+
+    def met(name, sl):
+        a = getattr(m, name)
+        return a[(slice(None),) + sl]
+
+    parts_u, parts_v = [], []
+    # --- W/E column strips: rotation + y-resample (full height) ----------
+    for c0, c1 in ((0, b), (Nx - b, Nx)):
+        sl = (slice(None), slice(c0, c1))
+        u_s, v_s = ua[:, :, c0:c1], va[:, :, c0:c1]
+        ur, vr = _rot(u_s, v_s, met("dr11", sl), met("r12", sl),
+                      met("r21", sl), met("dr22", sl))
+        uy = _resample_y_strip(ur, met("jwm", sl), met("jwp", sl))
+        vy = _resample_y_strip(vr, met("jwm", sl), met("jwp", sl))
+        # middle rows take the y-resampled values; T/B rows are covered by
+        # the row strips below (which consume these corner values)
+        pad = ((0, 0), (b, b), (c0, Nx - c1), (0, 0))
+        parts_u.append(jnp.pad(uy[:, b:Ny - b], pad))
+        parts_v.append(jnp.pad(vy[:, b:Ny - b], pad))
+        if c0 == 0:
+            uyW, vyW = uy, vy
+        else:
+            uyE, vyE = uy, vy
+    # --- S/N row strips: rotation, splice in the y-resampled corners,
+    # then x-resample (full width) ---------------------------------------
+    for r0, r1 in ((0, b), (Ny - b, Ny)):
+        sl = (slice(r0, r1),)
+        u_s, v_s = ua[:, r0:r1], va[:, r0:r1]
+        ur, vr = _rot(u_s, v_s, met("dr11", sl), met("r12", sl),
+                      met("r21", sl), met("dr22", sl))
+        # y-resample affects only the W/E corner columns of this strip
+        ur = jnp.concatenate([uyW[:, r0:r1], ur[:, :, b:Nx - b],
+                              uyE[:, r0:r1]], axis=2)
+        vr = jnp.concatenate([vyW[:, r0:r1], vr[:, :, b:Nx - b],
+                              vyE[:, r0:r1]], axis=2)
+        ux = _resample_x_strip(ur, met("iwm", sl), met("iwp", sl))
+        vx = _resample_x_strip(vr, met("iwm", sl), met("iwp", sl))
+        pad = ((0, 0), (r0, Ny - r1), (0, 0), (0, 0))
+        parts_u.append(jnp.pad(ux, pad))
+        parts_v.append(jnp.pad(vx, pad))
+    # masked-select assembly: the four zero-padded pieces have disjoint
+    # support covering exactly the frame, so summing them and selecting
+    # by the static frame mask reproduces the full-path values BIT-exactly
+    # (a delta-add form a + (corr - a) re-rounds and was measured 6e-5
+    # relative off)
+    frame = np.zeros((1, Ny, Nx, 1), bool)
+    frame[:, :b] = frame[:, Ny - b:] = True
+    frame[:, :, :b] = frame[:, :, Nx - b:] = True
+    mask = jnp.asarray(frame)
+    out_u = jnp.where(mask, sum(parts_u[1:], parts_u[0]), ua)
+    out_v = jnp.where(mask, sum(parts_v[1:], parts_v[0]), va)
+    return out_u, out_v
 
 
 def c_sw_part1(s: SWState, m: PaddedMetrics, dt2: float, ua, va):
