@@ -65,21 +65,30 @@ def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
 
 
 def _make_remap(cfg: DycoreConfig):
-    """Pick the remap kernel.
+    """Pick the remap kernel (single- and multi-field forms).
 
     On TPU with remap_band > 0: the fused Pallas banded kernel (exact
     within cfg.remap_band layers of deformation - gated against the full
-    form in the HeldSuarez check - and O(K*band) instead of O(K^2)).
-    Everywhere else: the full overlap form (the jnp banded form
-    MATERIALIZES its shifted copies and is slower than full on TPU)."""
+    form in the HeldSuarez check - and O(K*band) instead of O(K^2)); the
+    multi form remaps all fields sharing one coordinate pair through ONE
+    kernel with the overlap geometry computed once.  Everywhere else:
+    the full overlap form (the jnp banded form MATERIALIZES its shifted
+    copies and is slower than full on TPU).
+
+    Returns (remap_one, remap_many)."""
     import jax
 
     if cfg.remap_band > 0 and jax.default_backend() == "tpu":
-        from ..ops.pallas.remap import remap_field_banded_pallas
+        from ..ops.pallas.remap import (remap_field_banded_pallas,
+                                        remap_multi_banded_pallas)
 
-        return lambda q, pe1, pe2: remap_field_banded_pallas(
+        one = lambda q, pe1, pe2: remap_field_banded_pallas(
             q, pe1, pe2, cfg.kord, band=cfg.remap_band)
-    return lambda q, pe1, pe2: remap_field(q, pe1, pe2, cfg.kord)
+        many = lambda qs, pe1, pe2: remap_multi_banded_pallas(
+            qs, pe1, pe2, cfg.kord, band=cfg.remap_band)
+        return one, many
+    one = lambda q, pe1, pe2: remap_field(q, pe1, pe2, cfg.kord)
+    return one, lambda qs, pe1, pe2: [one(q, pe1, pe2) for q in qs]
 
 
 def _remap_winds(u, v, delp_padded, ak, bk, ptop, h, ny, nx, rm):
@@ -348,19 +357,24 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
         ps = pe1[..., -1]
         pe2 = ctx.ak + ctx.bk * ps[..., None]
         delp_new = pe2[..., 1:] - pe2[..., :-1]
-        rm = _make_remap(cfg)
-        pt = rm(pt, pe1, pe2)
-        if q is not None:
-            qs = jnp.moveaxis(q, -1, 0)
-            qs = jnp.stack(
-                [rm(qs[t], pe1, pe2) for t in range(qs.shape[0])], axis=0)
-            q = jnp.moveaxis(qs, 0, -1)
+        rm, rm_many = _make_remap(cfg)
+        # pt, tracers (and NH w / specific volume) share (pe1, pe2): one
+        # multi-field kernel computes the overlap geometry once
+        fields = [pt]
+        nq = 0 if q is None else q.shape[-1]
+        fields += [q[..., t] for t in range(nq)]
         if nonhydro:
             # w remaps mass-weighted like any scalar; delz via its
             # per-unit-mass form (specific volume * g) so total column
             # height is conserved through the remap
-            w = rm(w, pe1, pe2)
-            delz = rm(delz / jnp.maximum(delp, 1e-3), pe1, pe2) * delp_new
+            fields += [w, delz / jnp.maximum(delp, 1e-3)]
+        out = rm_many(fields, pe1, pe2)
+        pt = out[0]
+        if q is not None:
+            q = jnp.stack(out[1:1 + nq], axis=-1)
+        if nonhydro:
+            w = out[1 + nq]
+            delz = out[2 + nq] * delp_new
         # in overlap mode the final substep's carried pd_x fill IS
         # fill(delp, "x") - reuse it instead of re-exchanging
         dpad = pads[0] if cfg.overlap_fills else ops.fill(delp, "x")

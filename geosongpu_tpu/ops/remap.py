@@ -113,46 +113,57 @@ def _shift_k(a: jnp.ndarray, d: int, fill: float) -> jnp.ndarray:
     return jnp.concatenate([pad, a[..., :d]], axis=-1)
 
 
-def remap_field_banded(q: jnp.ndarray, pe1: jnp.ndarray, pe2: jnp.ndarray,
-                       kord: int = 8, band: int = 10) -> jnp.ndarray:
-    """Banded-overlap remap: EXACT equal to remap_field whenever every
-    target layer l draws only from source layers l-band..l+band.
+def remap_fields_banded(qs, pe1: jnp.ndarray, pe2: jnp.ndarray,
+                        kord: int = 8, band: int = 10):
+    """Banded-overlap remap of SEVERAL fields sharing one (pe1, pe2)
+    coordinate pair: EXACT equal to remap_field whenever every target
+    layer l draws only from source layers l-band..l+band.
 
-    The full overlap form is O(K^2) elementwise flops; the dycore is
-    VPU-flop-bound so at L72 the remap costs ~72x its minimal work.  The
-    Lagrangian surfaces deform by only a few Pa per remap interval (mass
-    flux divergence ~1e-5/s x delp x dt), far less than `band` layer
-    thicknesses, so a small band is exact in practice; the HeldSuarez
-    task's check() compares banded vs full on the final state every run
-    (a physics-reasons gate on the assumption).
+    The overlap geometry (shifted interfaces, normalized integration
+    bounds) depends only on the coordinates, so it is computed once and
+    applied to every field - at c192-L72 the per-field remap kernel is
+    ~10 ms/step and roughly half of it is geometry (measured round 5),
+    so remapping pt + tracers through one call nearly halves that.  A
+    single reciprocal per shift replaces the two divides (VPU divides
+    are multi-pass).
 
-    Requires K2 == K1 (the model remaps back to the same level count).
+    Returns a list of remapped fields, one per entry of qs.
     """
-    K1 = q.shape[-1]
+    K1 = qs[0].shape[-1]
     assert pe2.shape[-1] == K1 + 1, "banded remap needs K2 == K1"
     band = min(band, K1 - 1)  # band >= K is the full form
     dp1 = pe1[..., 1:] - pe1[..., :-1]
-    aL, aR, a6 = _ppm_edges_k(q, dp1)
+    edges = [_ppm_edges_k(q, dp1) for q in qs]
     pe1_lo, pe1_hi = pe1[..., :-1], pe1[..., 1:]
     pe2_lo, pe2_hi = pe2[..., :-1], pe2[..., 1:]
 
-    total = jnp.zeros_like(pe2_lo)
-    BIG = jnp.asarray(3e30, q.dtype)
+    totals = [jnp.zeros_like(pe2_lo) for _ in qs]
+    BIG = jnp.asarray(3e30, qs[0].dtype)
     for d in range(-band, band + 1):
         fill = BIG if d > 0 else -BIG
         lo_s = _shift_k(pe1_lo, d, fill)
         hi_s = _shift_k(pe1_hi, d, fill)
         dp_s = _shift_k(dp1, d, 1.0)
+        rdp_s = 1.0 / dp_s
         lo = jnp.maximum(lo_s, pe2_lo)
         hi = jnp.minimum(hi_s, pe2_hi)
-        x0 = jnp.clip((lo - lo_s) / dp_s, 0.0, 1.0)
-        x1 = jnp.clip((hi - lo_s) / dp_s, 0.0, 1.0)
+        x0 = jnp.clip((lo - lo_s) * rdp_s, 0.0, 1.0)
+        x1 = jnp.clip((hi - lo_s) * rdp_s, 0.0, 1.0)
         x1 = jnp.maximum(x1, x0)
-        total = total + _partial_integral(
-            _shift_k(aL, d, 0.0), _shift_k(aR, d, 0.0),
-            _shift_k(a6, d, 0.0), x0, x1) * dp_s
-    dp2 = pe2_hi - pe2_lo
-    return total / dp2
+        for i, (aL, aR, a6) in enumerate(edges):
+            totals[i] = totals[i] + _partial_integral(
+                _shift_k(aL, d, 0.0), _shift_k(aR, d, 0.0),
+                _shift_k(a6, d, 0.0), x0, x1) * dp_s
+    rdp2 = 1.0 / (pe2_hi - pe2_lo)
+    return [t * rdp2 for t in totals]
+
+
+def remap_field_banded(q: jnp.ndarray, pe1: jnp.ndarray, pe2: jnp.ndarray,
+                       kord: int = 8, band: int = 10) -> jnp.ndarray:
+    """Single-field form of remap_fields_banded (shared body).  The
+    HeldSuarez task's check() compares banded vs full on the final state
+    every run (a physics-reasons gate on the band assumption)."""
+    return remap_fields_banded([q], pe1, pe2, kord, band)[0]
 
 
 def lagrangian_to_eulerian(delp, pt, u_cell, v_cell, q, ak, bk, ptop,
