@@ -134,10 +134,6 @@ def _advect_tracers_accumulated(q, delp0, tacc, ops, m, hord, q_split,
         fy = lambda a: ops.fill(a, "y")
 
     uacc, vacc, mfx, mfy = (a / q_split for a in tacc)
-    crx = uacc * dt * m.rdxc
-    cry = vacc * dt * m.rdyc
-    xfx = uacc * dt * m.dy
-    yfx = vacc * dt * m.dx
     h, ny, nx = ops.h, ops.ny, ops.nx
     islice = (slice(None), slice(h, h + ny), slice(h, h + nx))
     delp = delp0
@@ -152,11 +148,15 @@ def _advect_tracers_accumulated(q, delp0, tacc, ops, m, hord, q_split,
             qys = qxs if chart is not None else \
                 [ops.fill(q[..., t], "y") for t in range(T)]
             dnew, qn = tracer_interval_advect_pallas(
-                qxs, qys, pd_x, crx, cry, xfx, yfx, mfx, mfy, m, hord)
+                qxs, qys, pd_x, uacc, vacc, dt, mfx, mfy, m, hord)
             q = jnp.stack([a[islice] for a in qn], axis=-1)
             delp = dnew[islice]
         return q
 
+    crx = uacc * dt * m.rdxc
+    cry = vacc * dt * m.rdyc
+    xfx = uacc * dt * m.dy
+    yfx = vacc * dt * m.dx
     for _ in range(q_split):
         pd_x = fx(delp)
         delp_new = (pd_x + (ddx(mfx) + ddy(mfy)) * m.rarea)[islice]
@@ -278,9 +278,17 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
         else:
             w2, delz2 = w, delz
         q2 = out.q if substep_tracers else q
-        tacc2 = tuple(
-            a + b for a, b in zip(tacc, (out.uct_pad, out.vct_pad,
-                                         out.mfx_pad, out.mfy_pad)))
+        if z_tracer:
+            tacc2 = tuple(
+                a + b for a, b in zip(tacc, (out.uct_pad, out.vct_pad,
+                                             out.mfx_pad, out.mfy_pad)))
+            # the interior mass-flux diagnostic accumulators are SLICES
+            # of the padded tacc sums - accumulating them separately
+            # would repeat two full-array HBM passes per substep
+            macc2 = (mfx_acc, mfy_acc)
+        else:
+            tacc2 = tacc
+            macc2 = (mfx_acc + out.mfx, mfy_acc + out.mfy)
         if cfg.overlap_fills:
             # reuse the substep's mid-step refills of delp/pt (/delz):
             # they are exactly fill(new interior, "x") - re-exchanging
@@ -310,7 +318,7 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
         # (measured ~10 ms/step of dynamic-update-slice at c192)
         return (out.u, out.v, out.delp, out.pt, q2,
                 w2, delz2,
-                mfx_acc + out.mfx, mfy_acc + out.mfy,
+                macc2[0], macc2[1],
                 tacc2, pads2, out.uc, out.vc), None
 
     Ny = ny + 2 * cfg.halo
@@ -342,6 +350,10 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
                                 length=cfg.n_split)
         (u, v, delp, pt, qq, ww, zz, mfx_acc, mfy_acc, tacc, pads,
          uc, vc) = carry
+        if z_tracer:
+            # interior mass-flux accumulators from the padded tacc sums
+            mfx_acc = mfx_acc + tacc[2][:, h:h + ny, h:h + nx + 1]
+            mfy_acc = mfy_acc + tacc[3][:, h:h + ny + 1, h:h + nx]
         if substep_tracers:
             q = qq
         if nonhydro:

@@ -374,7 +374,7 @@ def _face_call(body, args, out_shapes, kt: Optional[int], interpret: bool,
     )(*uargs)
 
 
-def tracer_interval_advect_pallas(qxs, qys, pd_x, crx, cry, xfx, yfx,
+def tracer_interval_advect_pallas(qxs, qys, pd_x, uacc, vacc, dt,
                                   mfx, mfy, m: PaddedMetrics, hord: int,
                                   interpret=None, kt=None):
     """One z_tracer subcycle (fv_dynamics._advect_tracers_accumulated):
@@ -383,18 +383,26 @@ def tracer_interval_advect_pallas(qxs, qys, pd_x, crx, cry, xfx, yfx,
     materializes the full PPM stencil chain per tracer in HBM - measured
     ~12 ms/step at c192-L72 for one tracer.
 
+    uacc/vacc are the per-subcycle accumulated advective winds; the
+    Courant / area-flux factors are rebuilt in-VMEM from the static
+    metrics (two windows instead of four - same trick as the substep
+    kernels).
+
     Returns (delp_new_padded, [q_new_padded per tracer]); the caller
     slices interiors."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     F, Ny, _, K = pd_x.shape
-    Nx = Ny  # square faces padded identically (blocks may be rectangular)
     Nx = pd_x.shape[2]
     jt = _auto_jt(Ny, Nx, K, kt)
 
-    def kq(qx, qy, pdx, crx_, cry_, xfx_, yfx_, mfx_, mfy_, *mets):
+    def kq(qx, qy, pdx, ua_, va_, mfx_, mfy_, *mets):
         from ..ops.fvtp2d import ddx, ddy, fvtp2d
         mm = _metrics_from(mets)
+        crx_ = ua_ * dt * mm.rdxc
+        cry_ = va_ * dt * mm.rdyc
+        xfx_ = ua_ * dt * mm.dy
+        yfx_ = va_ * dt * mm.dx
         delp_new = pdx + (ddx(mfx_) + ddy(mfy_)) * mm.rarea
         qf = fvtp2d(qx, qy, crx_, cry_, xfx_, yfx_, mm.area, hord=hord,
                     mfx=mfx_, mfy=mfy_)
@@ -405,7 +413,7 @@ def tracer_interval_advect_pallas(qxs, qys, pd_x, crx, cry, xfx, yfx,
     q_new = []
     for qx, qy in zip(qxs, qys):
         dnew, qn = _face_call(
-            kq, [qx, qy, pd_x, crx, cry, xfx, yfx, mfx, mfy]
+            kq, [qx, qy, pd_x, uacc, vacc, mfx, mfy]
             + _metrics_args(m),
             [(F, Ny, Nx, K), (F, Ny, Nx, K)], kt, interpret, jt=jt,
             name="dsw_tracer_acc")
