@@ -55,7 +55,14 @@ class DycoreConfig:
                                  # halo-overlapped row bands otherwise -
                                  # what lets c192-L72 run the fused path);
                                  # >0 = explicit rows per tile
-    remap_band: int = 10  # banded vertical remap half-width in layers.
+    remap_band: int = 6   # banded vertical remap half-width in layers.
+                          # Measured Lagrangian deformation (|omga| dt /
+                          # delp) is ~0.01 layers through c48 spin-up and
+                          # O(1) layer in mature storm-track eddies; the
+                          # HeldSuarez check gates BOTH the measured
+                          # deformation (< band/2) and banded-vs-full
+                          # agreement on a coordinate displaced by
+                          # band/2 layers, every run.
                           # On TPU this selects the fused Pallas kernel
                           # (ops/pallas/remap.py): exact while Lagrangian
                           # deformation stays within the band (gated every

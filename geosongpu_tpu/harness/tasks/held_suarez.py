@@ -189,9 +189,16 @@ class HeldSuarez(TaskBase):
         if abs(mass - mass0) / mass0 > 1e-3:
             raise CICheckException(f"mass drift {abs(mass-mass0)/mass0:.2e}")
 
-        # banded-remap exactness gate on the real end state: the banded
-        # form is only exact while the Lagrangian surfaces deform by less
-        # than remap_band layers - verify that assumption every run
+        # banded-remap assumption gates, every run (the round-4 version
+        # compared banded vs full on the POST-remap state, where
+        # pe1 == pe2 exactly - a vacuous check):
+        # 1. MEASURED Lagrangian deformation: the omga diagnostic is the
+        #    interval's Eulerian dp/dt, so |omga| dt / delp is the
+        #    interface displacement in layer units.  Require < band/2.
+        # 2. banded == full on a coordinate displaced by band/2 whole
+        #    layers (index shift of the real target interfaces): proves
+        #    the banded machinery absorbs twice the allowed deformation
+        #    on the real fields.
         cfg = model.config
         if cfg.remap_band > 0:
             import jax.numpy as jnp
@@ -199,21 +206,49 @@ class HeldSuarez(TaskBase):
             from ...ops.remap import remap_field, remap_field_banded
 
             delp = jnp.asarray(state.delp)
+            disp = float((jnp.abs(jnp.asarray(state.omga)) * cfg.dt
+                          / jnp.maximum(delp, 1.0)).max())
+            if disp > 0.5 * cfg.remap_band:
+                raise CICheckException(
+                    f"Lagrangian deformation {disp:.2f} layers exceeds "
+                    f"remap_band/2 = {0.5 * cfg.remap_band}: banded "
+                    "remap exactness no longer guaranteed")
             pe1 = cfg.ptop + jnp.concatenate(
                 [jnp.zeros_like(delp[..., :1]),
                  jnp.cumsum(delp, axis=-1)], axis=-1)
             pe2 = jnp.asarray(model.ctx.ak) + jnp.asarray(
                 model.ctx.bk) * pe1[..., -1:]
-            full = remap_field(jnp.asarray(state.pt), pe1, pe2, cfg.kord)
-            band = remap_field_banded(jnp.asarray(state.pt), pe1, pe2,
+            # displaced source coordinate: smooth sinusoidal displacement
+            # of up to band/2 local layer thicknesses (zero at the
+            # endpoints so the target range stays covered; amplitude
+            # halved until the displaced interfaces stay monotone)
+            import numpy as _np
+
+            K1 = delp.shape[-1]
+            dp2 = pe2[..., 1:] - pe2[..., :-1]
+            thick = jnp.concatenate(
+                [dp2[..., :1],
+                 0.5 * (dp2[..., 1:] + dp2[..., :-1]),
+                 dp2[..., -1:]], axis=-1)
+            prof = jnp.asarray(_np.sin(_np.pi * _np.arange(K1 + 1) / K1),
+                               jnp.float32)
+            amp = 0.5 * cfg.remap_band
+            while amp > 0.25:
+                pe1_t = pe2 + amp * prof * thick
+                if float((pe1_t[..., 1:] - pe1_t[..., :-1]).min()) > 0:
+                    break
+                amp *= 0.5
+            s = amp
+            full = remap_field(jnp.asarray(state.pt), pe1_t, pe2, cfg.kord)
+            band = remap_field_banded(jnp.asarray(state.pt), pe1_t, pe2,
                                       cfg.kord, band=cfg.remap_band)
             d = float(jnp.abs(full - band).max())
             sc = float(jnp.abs(full).max())
             if d > 1e-5 * sc:
                 raise CICheckException(
-                    f"banded remap diverged from exact by {d/sc:.2e}: "
-                    f"Lagrangian deformation exceeded remap_band="
-                    f"{cfg.remap_band}")
+                    f"banded remap diverged from exact by {d/sc:.2e} on "
+                    f"a {s}-layer-displaced coordinate (remap_band="
+                    f"{cfg.remap_band})")
 
         # round-over-round: pull the previous benchmark artifact (if any)
         # into the comparison, like the reference's cross-run reports
