@@ -134,10 +134,29 @@ class _Exchange:
 
 
 @dataclass(frozen=True)
+class _TwinPlan:
+    """Cross-device shared-edge symmetrization tables (the sharded form
+    of parallel/halo.symmetrize_shared_edges).
+
+    Per device (rows of each table, padded to the max entry count):
+    tgt [D, m]: local flat position (u-then-v segment) of a face-boundary
+    staggered entry this device holds (pad = local_len -> dropped);
+    pos [D, m]: position of its TWIN's value in the exchange concat
+    buffer; sgn [D, m]: the pair's tangent sign."""
+
+    rounds: Tuple[_Round, ...]
+    tgt: np.ndarray
+    pos: np.ndarray
+    sgn: np.ndarray
+    local_len: int
+
+
+@dataclass(frozen=True)
 class SubtilePlan:
     layout: SubtileLayout
     scalar: _Exchange     # dests: 'x', 'y'
     stag: _Exchange       # dests: 'u_t', 'v_t', 'u_n', 'v_n' (idx shared)
+    twins: Optional[_TwinPlan] = None
 
 
 def _schedule(pairs: Dict[Tuple[int, int], np.ndarray], D: int
@@ -368,7 +387,104 @@ def build_subtile_plan(n: int, h: int, py: int, px: int,
                           sender_idx, sn, shape)
     stag_ex = stag.finish()
 
-    return SubtilePlan(layout=lay, scalar=scalar_ex, stag=stag_ex)
+    return SubtilePlan(layout=lay, scalar=scalar_ex, stag=stag_ex,
+                       twins=_build_twin_plan(lay))
+
+
+def _build_twin_plan(lay: SubtileLayout) -> _TwinPlan:
+    """Shared-edge twin exchange plan (see _TwinPlan).
+
+    Every face-boundary staggered entry (u rows 0/n, v cols 0/n) has
+    exactly one holder device per face copy - u rows 0/n sit only in the
+    by = 0 / py-1 block rows, v cols 0/n only in the bx = 0 / px-1 block
+    columns - so the per-device entry lists need no duplicate handling.
+    Each holder computes new = 0.5 * (mine + sign * twin), which equals
+    the single-device symmetrize_shared_edges update BIT-exactly on both
+    sides (multiplication by +-1 is exact)."""
+    from ..core.topology import edge_twins
+
+    n, h, py, px = lay.n, lay.h, lay.py, lay.px
+    bny, bnx, S, D = lay.bny, lay.bnx, lay.nslots, lay.ndevices
+    face_sharded = lay.face_sharded
+    idx_a, idx_b, sgn_ab = edge_twins(n)
+    twin_of: Dict[int, Tuple[int, int]] = {}
+    for a, b, s in zip(idx_a.tolist(), idx_b.tolist(), sgn_ab.tolist()):
+        twin_of[a] = (b, int(s))
+        twin_of[b] = (a, int(s))
+
+    u_count = NFACES * (n + 1) * n
+    u_seg = S * (bny + 1) * bnx
+    local_len = u_seg + S * bny * (bnx + 1)
+
+    def decode(g):
+        if g >= u_count:
+            rem = g - u_count
+            f, rem = divmod(rem, n * (n + 1))
+            j, i = divmod(rem, n + 1)
+            return True, f, j, i
+        f, rem = divmod(g, (n + 1) * n)
+        j, i = divmod(rem, n)
+        return False, f, j, i
+
+    def owner(is_v, f, j, i):
+        if is_v:
+            oby, obx = j // bny, min(i // bnx, px - 1)
+        else:
+            oby, obx = min(j // bny, py - 1), i // bnx
+        return ((f * py + oby) * px + obx if face_sharded
+                else oby * px + obx), oby, obx
+
+    def local_flat(is_v, slot, j, i, oby, obx):
+        if is_v:
+            return u_seg + (slot * bny + (j - oby * bny)) * (bnx + 1) \
+                + (i - obx * bnx)
+        return (slot * (bny + 1) + (j - oby * bny)) * bnx + (i - obx * bnx)
+
+    per_dev: List[List[Tuple[int, int, int, int, int]]] = [
+        [] for _ in range(D)]  # (tgt_local, src_dev, src_local, sign, _)
+    pair_cells: Dict[Tuple[int, int], List[int]] = {}
+    for g, (g2, s) in twin_of.items():
+        is_v, f, j, i = decode(g)
+        d, oby, obx = owner(is_v, f, j, i)
+        slot = 0 if face_sharded else f
+        tgt = local_flat(is_v, slot, j, i, oby, obx)
+        is_v2, f2, j2, i2 = decode(g2)
+        d2, oby2, obx2 = owner(is_v2, f2, j2, i2)
+        slot2 = 0 if face_sharded else f2
+        src = local_flat(is_v2, slot2, j2, i2, oby2, obx2)
+        per_dev[d].append((tgt, d2, src, s, g))
+        if d2 != d:
+            pair_cells.setdefault((d2, d), []).append(src)
+
+    pairs = {k: np.unique(np.asarray(v, np.int64))
+             for k, v in pair_cells.items()}
+    rounds, assign = _schedule(pairs, D)
+    seg_base = [local_len + 1]
+    for r in rounds:
+        seg_base.append(seg_base[-1] + r.msg_len)
+
+    m = max((len(e) for e in per_dev), default=0)
+    tgt = np.full((D, m), local_len, np.int32)   # pad -> dropped scatter
+    pos = np.zeros((D, m), np.int32)
+    sg = np.zeros((D, m), np.int8)
+    for d, entries in enumerate(per_dev):
+        for k, (t, d2, src, s, _g) in enumerate(entries):
+            tgt[d, k] = t
+            sg[d, k] = s
+            if d2 == d:
+                pos[d, k] = src
+            else:
+                msg = pairs[(d2, d)]
+                pos[d, k] = (seg_base[assign[(d2, d)]]
+                             + int(np.searchsorted(msg, src)))
+    patched = []
+    for r in rounds:
+        pk = r.pack_idx.copy()
+        pk[pk < 0] = local_len
+        patched.append(_Round(perm=r.perm, msg_len=r.msg_len,
+                              pack_idx=pk.astype(np.int32)))
+    return _TwinPlan(rounds=tuple(patched), tgt=tgt, pos=pos, sgn=sg,
+                     local_len=local_len)
 
 
 # --------------------------------------------------------------------------
@@ -407,6 +523,10 @@ class SubtileFiller:
                            for r in plan.scalar.rounds]
         self._st_rounds = [(r.perm, dev(r.pack_idx))
                            for r in plan.stag.rounds]
+        tw = plan.twins
+        self._tw = None if tw is None else (
+            [(r.perm, dev(r.pack_idx)) for r in tw.rounds],
+            dev(tw.tgt), dev(tw.pos), dev(tw.sgn))
 
     @property
     def n(self) -> int:
@@ -476,6 +596,32 @@ class SubtileFiller:
         pvc = self._unpack(full, self._st_unpack["u_n"], vc.dtype)
         puc = self._unpack(full, self._st_unpack["v_n"], uc.dtype)
         return puc, pvc
+
+    # -- shared-edge symmetrization --------------------------------------
+    def symmetrize_dgrid(self, u: jax.Array, v: jax.Array):
+        """Sharded form of parallel/halo.symmetrize_shared_edges: average
+        the two independently-prognosed copies of every face-boundary
+        staggered wind entry, exchanging the twin values over ppermute
+        rounds.  Each holder computes 0.5 * (mine + sign * twin), which
+        matches the single-device update bit-exactly on both sides."""
+        if self._tw is None:
+            return u, v
+        rounds, tgt_t, pos_t, sgn_t = self._tw
+        uf = u.reshape((-1,) + u.shape[3:])
+        vf = v.reshape((-1,) + v.shape[3:])
+        nu = uf.shape[0]
+        flat = jnp.concatenate([uf, vf], axis=0)
+        full = self._exchange(self._with_zero(uf, vf), rounds)
+        didx = jax.lax.axis_index(self.axis_name)
+        tgt = jnp.take(tgt_t, didx, axis=0)
+        pos = jnp.take(pos_t, didx, axis=0)
+        s = jnp.take(sgn_t, didx, axis=0).astype(u.dtype)
+        s = s.reshape(s.shape + (1,) * (flat.ndim - 1))
+        mine = jnp.take(full, tgt, axis=0, mode="fill", fill_value=0)
+        twin = jnp.take(full, pos, axis=0)
+        new = 0.5 * (mine + s * twin)
+        flat = flat.at[tgt].set(new, mode="drop")
+        return (flat[:nu].reshape(u.shape), flat[nu:].reshape(v.shape))
 
     def interior(self, padded: jax.Array) -> jax.Array:
         h = self.h
@@ -628,6 +774,12 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
         out = fv_dynamics_step(state_l, lctx)
         if forcing is not None:
             out = forcing(out, sq(lats_l))
+        if cfg.edge_symmetrize:
+            # same step position as the single-device model (after the
+            # forcing): cross-device twin averaging, bit-matching the
+            # single-device symmetrize_shared_edges
+            u2, v2 = filler.symmetrize_dgrid(out.u, out.v)
+            out = dataclasses.replace(out, u=u2, v=v2)
         return jax.tree.map(lambda a: a[None], out)
 
     if lats_st is None:
@@ -691,10 +843,10 @@ def build_mesh_stepper(model, mesh_cfg, forcing):
     part of the experiment, not a side tool (the reference's layouts are
     config rows, /root/reference/src/tcn/ci/pipeline/held_suarez.py:272-377).
 
-    Note: the sharded step does not apply edge_symmetrize (the shared-edge
-    twins are prognosed on different devices); declare
-    `dycore: {edge_symmetrize: false}` in sharded experiments to keep the
-    single-device trajectory comparable."""
+    The sharded step applies edge_symmetrize through the ppermute twin
+    plan (SubtileFiller.symmetrize_dgrid), bit-matching the
+    single-device numerics - sharded experiments need no config
+    divergence from the single-chip default."""
     if mesh_cfg is None or mesh_cfg.n_devices <= 1:
         return ((lambda s: s), model.step_fn, (lambda s: s),
                 "single-device")

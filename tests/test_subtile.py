@@ -140,11 +140,12 @@ def _model_pieces(cfg):
 
 
 def test_sharded_step_matches_single_device():
-    # edge_symmetrize off: the sharded local step cannot average the
-    # cross-device edge twins (they are bit-identical by SPMD construction
-    # there), while the single-device step would - a real fp difference
-    cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H,
-                       edge_symmetrize=False)
+    # edge_symmetrize ON (the default): the sharded local step averages
+    # the cross-device edge twins through the ppermute twin plan
+    # (SubtileFiller.symmetrize_dgrid), bit-matching the single-device
+    # symmetrize_shared_edges - sharded experiments run the SAME numerics
+    # as the single-chip default
+    cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H)
     model, forcing = _model_pieces(cfg)
     state = model.init(perturb=1e-3)
     ref = model.step_fn(model.step_fn(state))
@@ -168,7 +169,7 @@ def test_sharded_pallas_step_matches_single_device():
     (/root/reference/src/tcn/ci/pipeline/held_suarez.py:142-218 +
     gtfv3_config.py:13)."""
     cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H,
-                       edge_symmetrize=False, pallas_dycore=True)
+                       pallas_dycore=True)
     model, forcing = _model_pieces(cfg)
     state = model.init(perturb=1e-3)
     ref = model.step_fn(model.step_fn(state))
@@ -185,7 +186,7 @@ def test_sharded_pallas_step_matches_single_device():
 
 def test_nonhydrostatic_sharded_step():
     cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H,
-                       hydrostatic=False, edge_symmetrize=False)
+                       hydrostatic=False)
     model, forcing = _model_pieces(cfg)
     state = model.init(perturb=1e-3)
     ref = model.step_fn(state)
@@ -210,8 +211,7 @@ from geosongpu_tpu.models.held_suarez import build_model
 from geosongpu_tpu.parallel.subtile import SubtileLayout, build_subtile_step
 from geosongpu_tpu.physics.held_suarez import held_suarez_forcing
 
-cfg = DycoreConfig(npx=8, npz=6, dt=600.0, n_split=2, halo=3,
-                   edge_symmetrize=False)
+cfg = DycoreConfig(npx=8, npz=6, dt=600.0, n_split=2, halo=3)
 model = build_model(cfg)
 state = model.init(perturb=1e-3)
 ref = model.step_fn(state)
@@ -258,7 +258,7 @@ def test_sharded_aquaplanet_matches_single_device():
     from geosongpu_tpu.core.config import MeshConfig
 
     cfg = DycoreConfig(npx=N, npz=6, dt=600.0, n_split=2, halo=H,
-                       ntracers=3, edge_symmetrize=False)
+                       ntracers=3)
     model = build_aq(cfg)
     state = model.init(perturb=1e-3)
     ref = model.step_fn(model.step_fn(state))
