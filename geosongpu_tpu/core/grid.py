@@ -147,6 +147,22 @@ class Grid:
     # metric kinks and at the 8 three-cell cube corners (FV3's one-sided
     # a2b/fill_corners role, precomputed as static data)
     corner_dw: np.ndarray
+    # STAGGERED-halo resampling weights (same deviation-form contract as
+    # jwm/iwm, but for scalar-like fields living on the u-grid
+    # [6, N+1, N] and v-grid [6, N, N+1]): halo staggered samples sit at
+    # the NEIGHBOR's staggered points, shifted along the edge in our
+    # extended chart.  Consumers: the corner-dual damping divergence
+    # (dycore/sw.damping_normal_fields), whose raw-halo form had a flat
+    # ~2e-4 1/s spurious divergence along face edges on a smooth
+    # solid-body flow (round-5 measurement; 5 orders above interior)
+    su_jwm: np.ndarray
+    su_jwp: np.ndarray
+    su_iwm: np.ndarray
+    su_iwp: np.ndarray
+    sv_jwm: np.ndarray
+    sv_jwp: np.ndarray
+    sv_iwm: np.ndarray
+    sv_iwp: np.ndarray
 
     @property
     def interior(self):
@@ -461,6 +477,48 @@ def build_grid(n: int, h: int = 3) -> Grid:
         good = sel_i & (xm < xi_s - tol) & (xi_s < xp - tol)
         iwm[good], iwp[good] = wm[good], wp[good]
 
+    # --- staggered-halo resampling weights (see Grid docstring) ----------
+    # same construction as jwm/iwm but at the staggered sample positions
+    # (upos/vpos, gathered above): u-grid ideal coords are (xi = centers,
+    # eta = interfaces), v-grid the transpose
+    s_ext = (np.arange(N + 1) - h) * ((np.pi / 2) / n) - np.pi / 4
+
+    def _stag_weights(pos, xi_ideal, eta_ideal):
+        A = np.stack([FACE_FRAMES[f][0] for f in range(NFACES)])
+        B = np.stack([FACE_FRAMES[f][1] for f in range(NFACES)])
+        Cv = np.stack([FACE_FRAMES[f][2] for f in range(NFACES)])
+        xi_p = np.arctan2(np.einsum("fjik,fk->fji", pos, B),
+                          np.einsum("fjik,fk->fji", pos, A))
+        eta_p = np.arctan2(np.einsum("fjik,fk->fji", pos, Cv),
+                           np.einsum("fjik,fk->fji", pos, A))
+        R, C = xi_p.shape[1:]
+        xig = np.broadcast_to(xi_ideal[None, None, :], (NFACES, R, C))
+        etag = np.broadcast_to(eta_ideal[None, :, None], (NFACES, R, C))
+        on_x = np.abs(xi_p - xig) < tol
+        on_e = np.abs(eta_p - etag) < tol
+        sjwm = np.zeros((NFACES, R, C))
+        sjwp = np.zeros_like(sjwm)
+        siwm = np.zeros_like(sjwm)
+        siwp = np.zeros_like(sjwm)
+        sel = on_x & ~on_e
+        sel[:, 0] = sel[:, -1] = False
+        em = np.roll(eta_p, 1, axis=1)
+        ep = np.roll(eta_p, -1, axis=1)
+        wm, _, wp = _lagrange3(etag, em, eta_p, ep)
+        good = sel & (em < eta_p - tol) & (eta_p < ep - tol)
+        sjwm[good], sjwp[good] = wm[good], wp[good]
+        sel = on_e & ~on_x
+        sel[:, :, 0] = sel[:, :, -1] = False
+        xm = np.roll(xi_p, 1, axis=2)
+        xp = np.roll(xi_p, -1, axis=2)
+        wm, _, wp = _lagrange3(xig, xm, xi_p, xp)
+        good = sel & (xm < xi_p - tol) & (xi_p < xp - tol)
+        siwm[good], siwp[good] = wm[good], wp[good]
+        return sjwm, sjwp, siwm, siwp
+
+    su_jwm, su_jwp, su_iwm, su_iwp = _stag_weights(upos, c_ext, s_ext)
+    sv_jwm, sv_jwp, sv_iwm, sv_iwp = _stag_weights(vpos, s_ext, c_ext)
+
     # extended-chart center-to-center spacings (identical on every face);
     # interior entries copied from dxc so in-face values stay bit-identical
     # cpts[j, i] = chart point at (xi_i, eta_j)
@@ -501,6 +559,10 @@ def build_grid(n: int, h: int = 3) -> Grid:
         fcor_c=f32(fcor_c),
         corner_mask=spec.corner_mask,
         corner_dw=f32(corner_dw),
+        su_jwm=f32(su_jwm), su_jwp=f32(su_jwp),
+        su_iwm=f32(su_iwm), su_iwp=f32(su_iwp),
+        sv_jwm=f32(sv_jwm), sv_jwp=f32(sv_jwp),
+        sv_iwm=f32(sv_iwm), sv_iwp=f32(sv_iwp),
         dr11=f32(r11 - 1.0),
         r12=f32(r12),
         r21=f32(r21),

@@ -42,6 +42,9 @@ class DycoreContext(NamedTuple):
     # cube-corner chart reconstruction weights (core/chart_corners.py);
     # None when config.chart_corners is off
     chart: object = None
+    # staggered-halo resample tables (sw.StagResample) for the
+    # chart-consistent damping divergence; None = raw-halo fallback
+    stag: object = None
 
 
 def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
@@ -53,6 +56,8 @@ def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
         from ..core.chart_corners import build_chart_tables
 
         chart = build_chart_tables(config.npx, config.halo)
+    from .sw import stag_resample_tables
+
     return DycoreContext(
         ops=build_halo_ops(config.npx, config.halo),
         metrics=padded_metrics(grid, phis=phis,
@@ -61,6 +66,7 @@ def build_context(config: DycoreConfig, grid: Grid, ak: np.ndarray,
         bk=jnp.asarray(bk),
         config=config,
         chart=chart,
+        stag=stag_resample_tables(grid),
     )
 
 
@@ -214,12 +220,13 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm,
             kt=cfg.pallas_kt or None,
             jt=cfg.pallas_jt if cfg.pallas_jt > 0 else None,
-            chart=chart)
+            chart=chart, stag_tabs=ctx.stag)
     else:
         substep_fn = lambda s: d_sw_substep(
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
-            hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm, chart=chart)
+            hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm, chart=chart,
+            stag_tabs=ctx.stag)
 
     zf = jnp.zeros((), jnp.float32)
 

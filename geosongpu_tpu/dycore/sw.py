@@ -324,6 +324,144 @@ def _center_to_corner_w(a, m: PaddedMetrics):
                    + m.dw10 * (a10 - avg4) + m.dw11 * (a11 - avg4))
 
 
+class StagResample(NamedTuple):
+    """Staggered-halo chart resample weights (grid.Grid.su_*/sv_*), each
+    [6, R, C, 1]; built by stag_resample_tables."""
+
+    su_jwm: jnp.ndarray
+    su_jwp: jnp.ndarray
+    su_iwm: jnp.ndarray
+    su_iwp: jnp.ndarray
+    sv_jwm: jnp.ndarray
+    sv_jwp: jnp.ndarray
+    sv_iwm: jnp.ndarray
+    sv_iwp: jnp.ndarray
+    # cube-corner disk mask on the padded corner grid [6, N+1, N+1, 1]
+    # (face-global so subtile sharding slices it like the metrics;
+    # interior blocks see all-False)
+    corner_disk: jnp.ndarray
+
+
+def stag_resample_tables(grid: Grid, radius: float = 4.0) -> StagResample:
+    f = lambda a: jnp.asarray(a)[..., None]
+    n, h = grid.n, grid.h
+    N = n + 2 * h
+    iy, ix = np.meshgrid(np.arange(N + 1), np.arange(N + 1),
+                         indexing="ij")
+    cd = np.minimum.reduce([
+        np.hypot(iy - h, ix - h), np.hypot(iy - h, ix - h - n),
+        np.hypot(iy - h - n, ix - h), np.hypot(iy - h - n, ix - h - n)])
+    disk = np.broadcast_to((cd <= radius)[None], (6, N + 1, N + 1)).copy()
+    return StagResample(
+        su_jwm=f(grid.su_jwm), su_jwp=f(grid.su_jwp),
+        su_iwm=f(grid.su_iwm), su_iwp=f(grid.su_iwp),
+        sv_jwm=f(grid.sv_jwm), sv_jwp=f(grid.sv_jwp),
+        sv_iwm=f(grid.sv_iwm), sv_iwp=f(grid.sv_iwp),
+        corner_disk=f(disk))
+
+
+def _strip_chart_resample(a, jwm, jwp, iwm, iwp, b: int):
+    """Band-confined two-pass chart resample (deviation form) of a scalar
+    field on any grid: j-resample on the W/E column bands (width b), then
+    i-resample on the S/N row bands consuming the y-resampled corner
+    values - the same support structure as a_grid_winds' strip path
+    (j-weights live on W/E bands, i-weights on S/N).  One masked-select
+    full pass; values outside the frame are untouched bit-exactly."""
+    Ny, Nx = a.shape[1], a.shape[2]
+    parts = []
+    for c0, c1 in ((0, b), (Nx - b, Nx)):
+        s = a[:, :, c0:c1]
+        sy = _resample_y_strip(s, jwm[:, :, c0:c1], jwp[:, :, c0:c1])
+        parts.append(jnp.pad(sy[:, b:Ny - b],
+                             ((0, 0), (b, b), (c0, Nx - c1), (0, 0))))
+        if c0 == 0:
+            yW = sy
+        else:
+            yE = sy
+    for r0, r1 in ((0, b), (Ny - b, Ny)):
+        s = a[:, r0:r1]
+        s = jnp.concatenate([yW[:, r0:r1], s[:, :, b:Nx - b],
+                             yE[:, r0:r1]], axis=2)
+        sx = _resample_x_strip(s, iwm[:, r0:r1], iwp[:, r0:r1])
+        parts.append(jnp.pad(sx, ((0, 0), (r0, Ny - r1), (0, 0), (0, 0))))
+    frame = np.zeros((1, Ny, Nx, 1), bool)
+    frame[:, :b] = frame[:, Ny - b:] = True
+    frame[:, :, :b] = frame[:, :, Nx - b:] = True
+    return jnp.where(jnp.asarray(frame), sum(parts[1:], parts[0]), a)
+
+
+def damping_normal_fields(pu, pv, ua, va, m: PaddedMetrics, ops: HaloOps,
+                          tabs: Optional[StagResample]):
+    """Chart-consistent normal-velocity fields for the corner-dual
+    damping divergence.
+
+    The raw padded pu/pv halos are the neighbor's covariant components at
+    the neighbor's staggered positions; projecting them with OUR chart
+    metrics makes a smooth solid-body flow look divergent along face
+    edges (measured ~2e-4 1/s, 5 orders above interior - the spurious
+    damping force this injected was exposed by the JW06 balanced state,
+    which it destroyed at +40 hPa/day).  Fix, in the round-3 style:
+    (1) transverse components from the chart-corrected A-grid winds,
+    (2) the normal fields nu = (u - cosa v) rsina / nv = (v - cosa u)
+        rsina computed on each face's own interior (owner side),
+    (3) halos exchanged as the tangential-type pair they are
+        (fill_dgrid sign tables),
+    (4) halo samples re-attached to our chart's staggered gridpoints by
+        the static 3-point resample (grid.su_*/sv_*).
+    Solid-body edge divergence error drops 30x to the smooth
+    discretization level; the 8 corner disks stay approximate (bounded,
+    chart-corner machinery does not cover staggered points).
+
+    Returns (p_nu [6, N+1, N, K], p_nv [6, N, N+1, K])."""
+    h, ny, nx = ops.h, ops.ny, ops.nx
+    vu = _center_to_yiface(va)
+    uv = _center_to_xiface(ua)
+    nu = (pu - m.cosa_j * vu) * m.rsina_j
+    nv = (pv - m.cosa_i * uv) * m.rsina_i
+    p_nu, p_nv = ops.fill_dgrid(nu[:, h:h + ny + 1, h:h + nx],
+                                nv[:, h:h + ny, h:h + nx + 1])
+    if tabs is not None:
+        p_nu = _strip_chart_resample(p_nu, tabs.su_jwm, tabs.su_jwp,
+                                     tabs.su_iwm, tabs.su_iwp, h)
+        p_nv = _strip_chart_resample(p_nv, tabs.sv_jwm, tabs.sv_jwp,
+                                     tabs.sv_iwm, tabs.sv_iwp, h)
+    return p_nu, p_nv
+
+
+def damping_divergence(pu, pv, ua, va, uct, vct, m: PaddedMetrics,
+                       ops: HaloOps, tabs: Optional[StagResample],
+                       corner_blend: bool = True):
+    """Padded corner-grid divergence for the damping operator, computed
+    chart-consistently everywhere:
+
+    * face interiors and edges: the metric-exact corner-dual contour of
+      the exchanged+resampled normal fields (damping_normal_fields);
+    * the 8 cube-corner disks: the 1-D staggered resample cannot fix the
+      two-owner corner blocks (solid-body residual 1.4e-4 1/s there), so
+      the disks take the corner-interpolated (corner_dw, linear-exact at
+      the true corner point) cell divergence of the chart-consistent
+      advective winds uct/vct instead.  The D-grid checkerboard mode is
+      invisible to that form, but only on 8 disks of ~4-cell radius -
+      the dual form keeps controlling it everywhere else.
+
+    Returns div_c [F, N(+1), N(+1), K]."""
+    p_nu, p_nv = damping_normal_fields(pu, pv, ua, va, m, ops, tabs)
+    uf = p_nu * m.dyc
+    vf = p_nv * m.dxc
+    du = uf[:, :, 1:] - uf[:, :, :-1]
+    dv = vf[:, 1:, :] - vf[:, :-1, :]
+    div_core = (du[:, 1:-1, :] + dv[:, :, 1:-1]) \
+        * m.rarea_c[:, 1:-1, 1:-1]
+    div_c = _pad_edge(_pad_edge(div_core, 1), 2)
+    if corner_blend:
+        # ddx/ddy are flux CONVERGENCES (F[i] - F[i+1]); negate for the
+        # divergence
+        div_cell = -(ddx(uct * m.dy) + ddy(vct * m.dx)) * m.rarea
+        div_a = _center_to_corner_w(div_cell, m)
+        div_c = jnp.where(tabs.corner_disk, div_a, div_c)
+    return div_c
+
+
 def _vorticity_abs(pu, pv, m: PaddedMetrics):
     """Absolute vorticity at cell centers (primal-cell circulation)."""
     circ = (pu[:, :-1, :] * m.dx[:, :-1, :]
@@ -613,7 +751,7 @@ def c_sw(s: SWState, m: PaddedMetrics, dt2: float, ptop: float,
     pkz, phi = _hydrostatic_fields(delp_h, pt_h, ptop)
     uct, vct = c_sw_part2(uc, vc, pt_h, pkz, phi + m.phis, ke, vort, m,
                           dt2)
-    return uct, vct, vort
+    return uct, vct, vort, ua, va
 
 
 # --------------------------------------------------------------------------
@@ -727,12 +865,16 @@ def nh_perturbation_fields(delp_new, pt_new, delz_new, ptop: float):
 
 def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
               pt_new, pkz, phi_mid, nh_fields, dt: float, hord: int,
-              d2_bg: float, hord_mt: int = 0, vort=None):
+              d2_bg: float, hord_mt: int = 0, vort=None, div_c_in=None):
     """D-grid vector-invariant wind update (horizontal only, Pallas-safe).
 
     pkz/phi_mid: hydrostatic fields of the post-transport state (computed
     outside - vertically coupled).  nh_fields: optional
     (pprime, phiprime, rho1) cell-centered NH perturbations.
+    div_c_in: optional precomputed damping divergence (damping_divergence
+    in the substep glue - chart-consistent across face edges and cube
+    corners); None falls back to the raw-halo in-kernel projection
+    (edge-spurious; kept for contexts without the resample tables).
     Returns (u_new, v_new) padded."""
     phi_c = _center_to_corner_w(phi_mid, m)
     pkz_c = _center_to_corner_w(pkz, m)
@@ -768,17 +910,20 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
     # exactly the corner neighborhoods the chart treatment fixed
     # (round-3 verdict item; same flux-form metric family as transport).
     upad, vpad = s.pu, s.pv
-    vmid = 0.5 * (vpad[:, :, :-1] + vpad[:, :, 1:])
-    vu = _pad_edge(0.5 * (vmid[:, :-1, :] + vmid[:, 1:, :]), 1)
-    uf = (upad - m.cosa_j * vu) * m.rsina_j * m.dyc
-    umid = 0.5 * (upad[:, :-1, :] + upad[:, 1:, :])
-    uv = _pad_edge(0.5 * (umid[:, :, :-1] + umid[:, :, 1:]), 2)
-    vf = (vpad - m.cosa_i * uv) * m.rsina_i * m.dxc
-    du = uf[:, :, 1:] - uf[:, :, :-1]
-    dv = vf[:, 1:, :] - vf[:, :-1, :]
-    div_core = (du[:, 1:-1, :] + dv[:, :, 1:-1]) \
-        * m.rarea_c[:, 1:-1, 1:-1]
-    div_c = _pad_edge(_pad_edge(div_core, 1), 2)
+    if div_c_in is not None:
+        div_c = div_c_in
+    else:
+        vmid = 0.5 * (vpad[:, :, :-1] + vpad[:, :, 1:])
+        vu = _pad_edge(0.5 * (vmid[:, :-1, :] + vmid[:, 1:, :]), 1)
+        uf = (upad - m.cosa_j * vu) * m.rsina_j * m.dyc
+        umid = 0.5 * (upad[:, :-1, :] + upad[:, 1:, :])
+        uv = _pad_edge(0.5 * (umid[:, :, :-1] + umid[:, :, 1:]), 2)
+        vf = (vpad - m.cosa_i * uv) * m.rsina_i * m.dxc
+        du = uf[:, :, 1:] - uf[:, :, :-1]
+        dv = vf[:, 1:, :] - vf[:, :-1, :]
+        div_core = (du[:, 1:-1, :] + dv[:, :, 1:-1]) \
+            * m.rarea_c[:, 1:-1, 1:-1]
+        div_c = _pad_edge(_pad_edge(div_core, 1), 2)
 
     # ---- D-grid wind update --------------------------------------------
     # vorticity flux with PPM-upwinded absolute vorticity (the 2-pt
@@ -845,11 +990,14 @@ def d_sw_substep(
     hord_mt: int = 0,
     hord_tm: int = 0,
     chart=None,
+    stag_tabs: Optional[StagResample] = None,
 ) -> SubstepOut:
     """One forward-backward acoustic substep on padded fields.
 
     chart: optional ChartCornerTables (cube-corner chart consistency for
-    the A-grid winds and the mid-substep refills)."""
+    the A-grid winds and the mid-substep refills).
+    stag_tabs: staggered-halo resample tables for the chart-consistent
+    damping divergence (damping_normal_fields); None = raw-halo form."""
     h, ny, nx = ops.h, ops.ny, ops.nx
 
     def refill(a):
@@ -862,7 +1010,10 @@ def d_sw_substep(
     islicev = (slice(None), slice(h, h + ny), slice(h, h + nx + 1))
 
     # ---- time-centered advective winds ---------------------------------
-    uct, vct, vort_c = c_sw(s, m, 0.5 * dt, ptop, chart=chart)
+    uct, vct, vort_c, ua, va = c_sw(s, m, 0.5 * dt, ptop, chart=chart)
+    div_cg = damping_divergence(s.pu, s.pv, ua, va, uct, vct, m, ops,
+                                stag_tabs) \
+        if stag_tabs is not None else None
 
     crx = uct * dt * m.rdxc
     cry = vct * dt * m.rdyc
@@ -916,7 +1067,8 @@ def d_sw_substep(
     u_new, v_new = wind_part(s, m, uct, vct, crx, cry, pt_f, pkz,
                              phi_mid + m.phis, nh_fields, dt, hord, d2_bg,
                              hord_mt=hord_mt,
-                             vort=vort_c if chart is not None else None)
+                             vort=vort_c if chart is not None else None,
+                             div_c_in=div_cg)
 
     return SubstepOut(
         u=u_new[isliceu],

@@ -764,13 +764,23 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
         # dev meshes) - such runs skip the corner correction
         chart_sh = sharded_chart_for_subtile(ctx.chart, lay, DEV_AXIS)
 
-    def local_step(state_l, metrics_l, lats_l):
+    stag_st = None
+    if ctx.stag is not None:
+        # per-block slices of the staggered-halo resample tables (the
+        # padded weight arrays slice exactly like the metrics; interior
+        # blocks get all-zero weights -> identity resample)
+        stag_st = jax.tree.map(
+            lambda a: _put_stacked(stack_blocks(lay, np.asarray(a)),
+                                   sharding), ctx.stag)
+
+    def local_step(state_l, metrics_l, lats_l, stag_l):
         sq = lambda t: jax.tree.map(lambda a: a[0], t)
         state_l = sq(state_l)
+        stag_sq = None if stag_l is None else sq(stag_l)
         filler = SubtileFiller(plan, comm=comm)
         lctx = DycoreContext(ops=filler, metrics=sq(metrics_l),
                              ak=ctx.ak, bk=ctx.bk, config=cfg,
-                             chart=chart_sh)
+                             chart=chart_sh, stag=stag_sq)
         out = fv_dynamics_step(state_l, lctx)
         if forcing is not None:
             out = forcing(out, sq(lats_l))
@@ -790,13 +800,13 @@ def build_subtile_step(ctx, lay: SubtileLayout, mesh=None, lats=None,
     # varying x non-varying); correctness is gated by the single-device
     # equivalence tests instead (tests/test_subtile.py)
     step_sm = jax.jit(jax.shard_map(
-        local_step, mesh=mesh, in_specs=(spec, spec, spec),
+        local_step, mesh=mesh, in_specs=(spec, spec, spec, spec),
         out_specs=spec, check_vma=False))
 
     def step(state_stacked):
         # metrics/lats ride as runtime args (jit constants would need the
         # full value on every process - impossible on a multi-host mesh)
-        return step_sm(state_stacked, metrics_st, lats_st)
+        return step_sm(state_stacked, metrics_st, lats_st, stag_st)
 
     def place(state):
         return jax.tree.map(

@@ -111,7 +111,7 @@ def main():
 
     # ---- full advective winds (after c_sw_part2 PGF/KE update): for the
     # balanced state they should still equal the analytic normal winds ---
-    uct, vct, _ = sw.c_sw(s, m, 0.5 * cfg.dt, cfg.ptop, chart=ctx.chart)
+    uct, vct, _, _, _ = sw.c_sw(s, m, 0.5 * cfg.dt, cfg.ptop, chart=ctx.chart)
     report("uc* (time-centered)",
            np.asarray(uct)[..., 0][iu] - uc_true[iu], npx, h)
     report("vc* (time-centered)",

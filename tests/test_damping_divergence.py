@@ -1,0 +1,89 @@
+"""Chart-consistency of the corner-dual damping divergence.
+
+A smooth solid-body rotation is non-divergent; the discrete corner-dual
+operator must see it that way EVERYWHERE, including across face edges.
+The round-4 form projected raw staggered halos (the neighbor's covariant
+components at the neighbor's shifted positions) with our chart metrics -
+a flat ~2e-4 1/s spurious divergence along every face edge (5 orders
+above the interior), whose damping force destroyed the JW06 balanced
+state at ~40 hPa/day.  sw.damping_divergence (owner-side normal fields,
+tangential exchange, staggered chart resample, corner-disk blend) must
+keep the edge rows at the interior's smooth discretization level.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geosongpu_tpu.core.grid import build_grid
+from geosongpu_tpu.dycore.sw import (damping_divergence, padded_metrics,
+                                     a_grid_winds, stag_resample_tables,
+                                     c_sw_part1, SWState)
+from geosongpu_tpu.parallel.halo import build_halo_ops
+from geosongpu_tpu.models.baroclinic_wave import (_stag_points, _basis_at,
+                                                  _east_north)
+
+
+def _solid_body(n):
+    upts, vpts = _stag_points(n)
+
+    def proj(points, which):
+        e1 = np.zeros_like(points)
+        e2 = np.zeros_like(points)
+        for f in range(6):
+            a, b = _basis_at(f, points[f])
+            e1[f], e2[f] = a, b
+        east, _, phi, _ = _east_north(points)
+        V = 40.0 * np.cos(phi)[..., None] * east
+        t = e1 if which == "u" else e2
+        return np.sum(V * t, axis=-1)
+
+    u = jnp.asarray(proj(upts, "u")[..., None], jnp.float32)
+    v = jnp.asarray(proj(vpts, "v")[..., None], jnp.float32)
+    return u, v
+
+
+@pytest.mark.parametrize("n", [24])
+def test_damping_divergence_smooth_across_edges(n):
+    h = 3
+    g = build_grid(n, h)
+    m = padded_metrics(g, phis=None, chart_cosa=True)
+    ops = build_halo_ops(n, h)
+    tabs = stag_resample_tables(g)
+    u, v = _solid_body(n)
+    pu, pv = ops.fill_dgrid(u, v)
+    ua, va = a_grid_winds(pu, pv, m)
+    # advective winds for the corner-disk blend: the same projection
+    # c_sw uses (uct ~ uc here; the time-centering is irrelevant for a
+    # divergence-free steady field)
+    from geosongpu_tpu.dycore.sw import (_center_to_xiface,
+                                         _center_to_yiface)
+
+    uct = (_center_to_xiface(ua) - m.cosa_i * _center_to_xiface(va)) \
+        * m.rsina_i
+    vct = (_center_to_yiface(va) - m.cosa_j * _center_to_yiface(ua)) \
+        * m.rsina_j
+    div = np.asarray(damping_divergence(pu, pv, ua, va, uct, vct, m, ops,
+                                        tabs))[..., 0]
+    N = n + 2 * h
+    rows = np.arange(N + 1)
+    iy, ix = np.meshgrid(rows, rows, indexing="ij")
+    de = np.minimum.reduce([np.abs(iy - h), np.abs(iy - h - n),
+                            np.abs(ix - h), np.abs(ix - h - n)])
+    cd = np.minimum.reduce([
+        np.hypot(iy - h, ix - h), np.hypot(iy - h, ix - h - n),
+        np.hypot(iy - h - n, ix - h), np.hypot(iy - h - n, ix - h - n)])
+    inside = (iy >= h) & (iy <= h + n) & (ix >= h) & (ix <= h + n)
+
+    edge = inside & (de == 0) & (cd > 4)
+    interior = inside & (de >= 2)
+    e_max = np.abs(div[:, edge]).max()
+    i_max = np.abs(div[:, interior]).max()
+    # raw-halo form measured 1.9e-4 on the edge rows; the fixed operator
+    # sits at ~6e-6 (the smooth discretization level is ~3e-9 interior,
+    # the edge stencil change accounts for the rest)
+    assert e_max < 2.0e-5, f"edge-row divergence {e_max:.2e}"
+    # corner disks are approximate but BOUNDED (blend operator)
+    c_max = np.abs(div[:, inside & (cd <= 4)]).max()
+    assert c_max < 1.0e-4, f"corner-disk divergence {c_max:.2e}"
+    assert i_max < 1.0e-7, f"interior divergence {i_max:.2e}"
