@@ -92,6 +92,16 @@ class DycoreConfig:
                                 # corner-block chimera AND halves scalar
                                 # halo fills (x-fill == y-fill after
                                 # correction).  False = round-3 behavior.
+    rim_split: bool = False  # split the c_sw stage into an interior
+                             # core computed from LOCAL (un-exchanged)
+                             # winds and rim bands from the exchanged
+                             # fills: the D-grid wind ppermute then
+                             # overlaps with the core compute instead of
+                             # gating the whole substep (bit-identical
+                             # stitch; requires overlap_fills so the
+                             # scalar pads don't gate either).  SURVEY
+                             # 7.3's halo/compute-overlap obligation for
+                             # the wind exchange.
     overlap_fills: bool = False  # pipeline scalar halo exchanges across
                                  # acoustic substeps: substep i+1's
                                  # delp/pt/w/delz fills are issued right

@@ -212,6 +212,10 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
         w = delz = None
 
     chart = ctx.chart
+    # the interior/rim split needs the jnp substep (the Pallas kernels
+    # would need split Element-window variants) + pipelined scalar pads
+    rim_split = cfg.rim_split and cfg.overlap_fills \
+        and not cfg.pallas_dycore
     if cfg.pallas_dycore:
         from .sw_pallas import d_sw_substep_pallas
         substep_fn = lambda s: d_sw_substep_pallas(
@@ -222,11 +226,11 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             jt=cfg.pallas_jt if cfg.pallas_jt > 0 else None,
             chart=chart, stag_tabs=ctx.stag)
     else:
-        substep_fn = lambda s: d_sw_substep(
+        substep_fn = lambda s, rim_loc=None: d_sw_substep(
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm, chart=chart,
-            stag_tabs=ctx.stag)
+            stag_tabs=ctx.stag, rim_loc=rim_loc)
 
     zf = jnp.zeros((), jnp.float32)
 
@@ -261,6 +265,13 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
          _uc, _vc) = carry
         if cfg.overlap_fills:
             pu, pv = ops.fill_dgrid(u, v)
+            if rim_split:
+                # local-only padded winds for the interior/rim split: the
+                # core chain consumes these (no exchange dependency)
+                zpad = ((0, 0), (h, h), (h, h), (0, 0))
+                rim_loc = (jnp.pad(u, zpad), jnp.pad(v, zpad))
+            else:
+                rim_loc = None
             s = SWState(
                 pu=pu, pv=pv,
                 pd_x=pads[0], pd_y=pads[1], pt_x=pads[2], pt_y=pads[3],
@@ -271,12 +282,13 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
                 pz_x=pads[8] if nonhydro else None,
                 pz_y=pads[9] if nonhydro else None)
         else:
+            rim_loc = None
             s = fill_substep(ops, u, v, delp, pt,
                              q if substep_tracers else None,
                              w=w if nonhydro else None,
                              delz=delz if nonhydro else None,
                              chart=chart)
-        out = substep_fn(s)
+        out = substep_fn(s, rim_loc) if rim_split else substep_fn(s)
         if nonhydro:
             # the implicit vertical acoustic solve runs inside
             # d_sw_substep (before the wind update, so the NH pressure

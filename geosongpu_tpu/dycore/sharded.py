@@ -95,25 +95,26 @@ def build_sharded_step(ctx: DycoreContext, mesh: Optional[Mesh] = None):
 
         chart_sh = sharded_chart_for_faces(ctx.chart, "face")
 
-    def local_step(state_local: DycoreState, metrics_local):
+    def local_step(state_local: DycoreState, metrics_local, stag_local):
         filler = ShardedFiller(cfg.npx, cfg.halo)
         lctx = DycoreContext(ops=filler, metrics=metrics_local,
                              ak=ctx.ak, bk=ctx.bk, config=cfg,
-                             chart=chart_sh)
+                             chart=chart_sh, stag=stag_local)
         return fv_dynamics_step(state_local, lctx)
 
     spec = P("face")
     step_sm = shard_map(
         local_step, mesh=mesh,
-        in_specs=(spec, spec),
+        in_specs=(spec, spec, spec),
         out_specs=spec,
     )
 
     metrics = ctx.metrics
+    stag = ctx.stag
 
     @jax.jit
     def step(state: DycoreState) -> DycoreState:
-        return step_sm(state, metrics)
+        return step_sm(state, metrics, stag)
 
     def place(state: DycoreState) -> DycoreState:
         sh = NamedSharding(mesh, spec)

@@ -366,8 +366,23 @@ def _strip_chart_resample(a, jwm, jwp, iwm, iwp, b: int):
     i-resample on the S/N row bands consuming the y-resampled corner
     values - the same support structure as a_grid_winds' strip path
     (j-weights live on W/E bands, i-weights on S/N).  One masked-select
-    full pass; values outside the frame are untouched bit-exactly."""
+    full pass; values outside the frame are untouched bit-exactly.
+
+    The outermost LOCAL rows/cols are forced to identity: a centered
+    3-point stencil has no neighbors there.  On the full face the
+    weights are already zero at those positions; on a subtile BLOCK they
+    may not be (the block edge sits mid-face), and resampling against
+    the edge-replicated pad read garbage - those cells sit outside the
+    1-ring the damping operator consumes, so identity is safe and keeps
+    the consumed ring bit-identical to the single-device path."""
     Ny, Nx = a.shape[1], a.shape[2]
+    rmask = np.ones((1, Ny, 1, 1), np.float32)
+    rmask[:, 0] = rmask[:, -1] = 0.0
+    cmask = np.ones((1, 1, Nx, 1), np.float32)
+    cmask[:, :, 0] = cmask[:, :, -1] = 0.0
+    rmask, cmask = jnp.asarray(rmask), jnp.asarray(cmask)
+    jwm, jwp = jwm * rmask, jwp * rmask
+    iwm, iwp = iwm * cmask, iwp * cmask
     parts = []
     for c0, c1 in ((0, b), (Nx - b, Nx)):
         s = a[:, :, c0:c1]
@@ -978,6 +993,60 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
     return u_new, v_new
 
 
+_CORE_MASK_CACHE: dict = {}
+
+
+def _core_mask(shape, h: int, ny: int, nx: int, r: int):
+    """Static mask of cells whose c_sw_part1 stencils stay inside the
+    locally-valid interior (no exchanged halo dependency); staggered
+    extents follow the output shape."""
+    key = (shape[1], shape[2], h, ny, nx, r)
+    hit = _CORE_MASK_CACHE.get(key)
+    if hit is None:
+        R, C = shape[1], shape[2]
+        ey = ny + (R - (ny + 2 * h))    # ny or ny+1
+        ex = nx + (C - (nx + 2 * h))
+        mk = np.zeros((1, R, C, 1), bool)
+        mk[:, h + r:h + ey - r, h + r:h + ex - r] = True
+        hit = jnp.asarray(mk)
+        _CORE_MASK_CACHE[key] = hit
+    return hit
+
+
+def _c_sw_rim_split(s: SWState, rim_loc, m: PaddedMetrics, dt2: float,
+                    ptop: float, chart, ops: HaloOps):
+    """c_sw with the interior/rim kernel split (SURVEY 7.3): the CORE
+    region of c_sw_part1 is computed from LOCAL (un-exchanged) winds -
+    in the core every halo correction is an exact zero, so plain
+    averaging equals a_grid_winds bit-exactly and no stencil reaches
+    exchanged data - while the D-grid ppermute rounds are in flight;
+    the rim bands come from the exchanged fills and the stitch is
+    bit-identical to the unsplit chain (gated in tests/test_subtile.py).
+    XLA's latency-hiding scheduler overlaps the exchange with the core
+    compute because the core chain has NO dataflow edge to it."""
+    pu_loc, pv_loc = rim_loc
+    ua_c = _avg_u_to_center(pu_loc)
+    va_c = _avg_v_to_center(pv_loc)
+    s_loc = s._replace(pu=pu_loc, pv=pv_loc)
+    core = c_sw_part1(s_loc, m, dt2, ua_c, va_c)
+
+    ua, va = a_grid_winds(s.pu, s.pv, m)
+    if chart is not None:
+        ua, va = chart.apply_agrid(ua, va, s.pu, s.pv)
+    rim = c_sw_part1(s, m, dt2, ua, va)
+
+    h, ny, nx = ops.h, ops.ny, ops.nx
+    outs = [jnp.where(_core_mask(c.shape, h, ny, nx, 3), c, x)
+            for c, x in zip(core, rim)]
+    uc, vc, delp_h, pt_h, ke, vort = outs
+    if chart is not None:
+        vort = chart.apply_scalar(vort, "derived")
+    pkz, phi = _hydrostatic_fields(delp_h, pt_h, ptop)
+    uct, vct = c_sw_part2(uc, vc, pt_h, pkz, phi + m.phis, ke, vort, m,
+                          dt2)
+    return uct, vct, vort, ua, va
+
+
 def d_sw_substep(
     s: SWState,
     m: PaddedMetrics,
@@ -991,6 +1060,7 @@ def d_sw_substep(
     hord_tm: int = 0,
     chart=None,
     stag_tabs: Optional[StagResample] = None,
+    rim_loc=None,
 ) -> SubstepOut:
     """One forward-backward acoustic substep on padded fields.
 
@@ -1010,7 +1080,11 @@ def d_sw_substep(
     islicev = (slice(None), slice(h, h + ny), slice(h, h + nx + 1))
 
     # ---- time-centered advective winds ---------------------------------
-    uct, vct, vort_c, ua, va = c_sw(s, m, 0.5 * dt, ptop, chart=chart)
+    if rim_loc is not None:
+        uct, vct, vort_c, ua, va = _c_sw_rim_split(
+            s, rim_loc, m, 0.5 * dt, ptop, chart, ops)
+    else:
+        uct, vct, vort_c, ua, va = c_sw(s, m, 0.5 * dt, ptop, chart=chart)
     div_cg = damping_divergence(s.pu, s.pv, ua, va, uct, vct, m, ops,
                                 stag_tabs) \
         if stag_tabs is not None else None

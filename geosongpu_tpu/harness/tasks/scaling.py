@@ -84,7 +84,9 @@ class ScalingBench(TaskBase):
             npx = int(round(B * np.sqrt(nd) / lcm)) * lcm  # divisibility
             cfg = DycoreConfig(npx=npx, npz=16, dt=dt0 * npx0 / npx,
                                n_split=3, overlap_fills=True)
+            cfg_rs = dataclasses.replace(cfg, rim_split=True)
             model = build_model(cfg)
+            model_rs = build_model(cfg_rs)
             st = model.init(perturb=1e-3)
             lay = SubtileLayout(n=npx, h=cfg.halo, py=py, px=px,
                                 face_sharded=False)
@@ -109,6 +111,17 @@ class ScalingBench(TaskBase):
                     model.ctx, lay, mesh=mesh, lats=model.lats,
                     forcing=forcing, comm=False)
                 t_compute = _time_fn(step_nc, place_nc(st))
+                # interior/rim-split variant (SURVEY 7.3): the c_sw core
+                # has no dataflow edge to the D-grid wind exchange, so
+                # the scheduler can hide the ppermutes behind it
+                step_rs, place_rs, _ = build_subtile_step(
+                    model_rs.ctx, lay, mesh=mesh, lats=model_rs.lats,
+                    forcing=forcing)
+                t_step_rs = _time_fn(step_rs, place_rs(st))
+                step_rs_nc, place_rs_nc, _ = build_subtile_step(
+                    model_rs.ctx, lay, mesh=mesh, lats=model_rs.lats,
+                    forcing=forcing, comm=False)
+                t_compute_rs = _time_fn(step_rs_nc, place_rs_nc(st))
                 # comm-only: the exchange rounds at one substep's volumes,
                 # repeated n_split times (+1 for the remap/tracer fills)
                 plan = build_subtile_plan(lay.n, lay.h, lay.py, lay.px,
@@ -136,9 +149,15 @@ class ScalingBench(TaskBase):
 
                 t_comm = _time_fn(jax.jit(comm_only), placed)
                 overlap = (t_comm + t_compute - t_step) / max(t_comm, 1e-12)
+                overlap_rs = (t_comm + t_compute_rs - t_step_rs) \
+                    / max(t_comm, 1e-12)
                 entry.update(
                     comm_s=t_comm, compute_s=t_compute,
-                    overlap_frac=float(np.clip(overlap, 0.0, 1.0)))
+                    overlap_frac=float(np.clip(overlap, 0.0, 1.0)),
+                    step_rim_split_s=t_step_rs,
+                    compute_rim_split_s=t_compute_rs,
+                    overlap_frac_rim_split=float(
+                        np.clip(overlap_rs, 0.0, 1.0)))
             scaling.append(entry)
 
         # weak-scaling efficiency: per-device throughput vs 1 device
