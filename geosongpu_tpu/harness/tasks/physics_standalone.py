@@ -7,10 +7,13 @@ The TPU analog is the same dual-build contract: every column kernel runs
 through TWO compilation paths - the jnp source traced into XLA vs the
 fused Pallas/Mosaic kernel (ops/pallas/columns.py; on non-TPU hosts the
 Pallas interpreter) - over 5 synthetic datasets at the same 0.01% gate.
-GFDLMicrophysics and FillQ2Zero additionally have fully independent
-second implementations (own saturation functions / unrolled recurrences,
-ops/pallas/microphysics.py), so their gate compares genuinely different
-numerics, not just different compilers.
+GFDLMicrophysics, FillQ2Zero, Buoyancy and EvapSublPdfLoop have fully
+independent second implementations (own gas constants and saturation
+functions, density-ratio buoyancy, PDF-integral clear fraction, unrolled
+recurrences - ops/pallas/microphysics.py, ops/pallas/standalone_twins.py),
+so their gates compare genuinely different SOURCES, matching the
+reference's serial-vs-OpenACC two-source contract; the remaining three
+run the shared jnp body through the two compilation paths.
 """
 from __future__ import annotations
 
@@ -90,8 +93,19 @@ def _run_kernel_pallas(name: str, data: Dict[str, np.ndarray]
     from ...ops.pallas.columns import column_kernel_call, fill_q2_zero_pallas
     from ...ops.pallas.microphysics import gfdl_microphysics_pallas
 
+    from ...ops.pallas.standalone_twins import (buoyancy_pallas,
+                                                evap_subl_pdf_pallas)
+
     interp = jax.default_backend() != "tpu"
-    if name == "GFDLMicrophysics":
+    if name == "Buoyancy":
+        out = {"b": buoyancy_pallas(data["t"], data["qv"], data["p"],
+                                    data["t"] + 0.5, data["qv"],
+                                    interpret=interp)}
+    elif name == "EvapSublPdfLoop":
+        out = dict(zip(("t", "qv", "ql", "qi"), evap_subl_pdf_pallas(
+            data["t"], data["qv"], data["ql"], data["qi"], data["p"],
+            600.0, interpret=interp)))
+    elif name == "GFDLMicrophysics":
         out = gfdl_microphysics_pallas(
             data["t"], data["qv"], data["ql"], data["qr"], data["qi"],
             data["p"], data["delp"], 600.0, interpret=interp)
