@@ -1008,9 +1008,11 @@ def _core_mask(shape, h: int, ny: int, nx: int, r: int):
         ex = nx + (C - (nx + 2 * h))
         mk = np.zeros((1, R, C, 1), bool)
         mk[:, h + r:h + ey - r, h + r:h + ex - r] = True
-        hit = jnp.asarray(mk)
-        _CORE_MASK_CACHE[key] = hit
-    return hit
+        _CORE_MASK_CACHE[key] = mk
+        hit = mk
+    # asarray fresh per trace: caching the device constant leaks a
+    # shard_map-varying tracer across traces
+    return jnp.asarray(hit)
 
 
 def _c_sw_rim_split(s: SWState, rim_loc, m: PaddedMetrics, dt2: float,

@@ -53,9 +53,10 @@ def stage_flops(cfg, model):
     analysis of the same stage functions, lowered on CPU."""
     import jax
 
-    from geosongpu_tpu.dycore.sw import (_hydrostatic_fields, c_sw_part1,
-                                         c_sw_part2, fill_substep,
-                                         transport_part, wind_part)
+    from geosongpu_tpu.dycore.sw import (_hydrostatic_fields, a_grid_winds,
+                                         c_sw_part1, c_sw_part2,
+                                         fill_substep, transport_part,
+                                         wind_part)
     from geosongpu_tpu.dycore.sw_pallas import _metrics_args, _metrics_from
     from geosongpu_tpu.ops.remap import remap_field_banded
     import jax.numpy as jnp
@@ -76,9 +77,11 @@ def stage_flops(cfg, model):
             return float(ca.get("flops", 0.0))
 
         out = {}
+        ua, va = a_grid_winds(st.pu, st.pv, m)
         out["dsw_csw1"] = fl(
-            lambda s_: c_sw_part1(s_, m, 0.5 * dt_ac), st)
-        uc, vc, delp_h, pt_h, ke, vort = c_sw_part1(st, m, 0.5 * dt_ac)
+            lambda s_: c_sw_part1(s_, m, 0.5 * dt_ac, ua, va), st)
+        uc, vc, delp_h, pt_h, ke, vort = c_sw_part1(st, m, 0.5 * dt_ac,
+                                                    ua, va)
         pkz_h, phi_h = _hydrostatic_fields(delp_h, pt_h, cfg.ptop)
 
         def k2(uc_, vc_):
@@ -115,7 +118,7 @@ def main():
     ap.add_argument("--npz", type=int, default=72)
     ap.add_argument("--steps", type=int, default=5)
     ap.add_argument("--nsplit", type=int, default=6)
-    ap.add_argument("--out", default="results/roofline_r3.json")
+    ap.add_argument("--out", default="results/roofline_r5.json")
     args = ap.parse_args()
 
     import jax
