@@ -42,8 +42,10 @@ class DycoreContext(NamedTuple):
     # cube-corner chart reconstruction weights (core/chart_corners.py);
     # None when config.chart_corners is off
     chart: object = None
-    # staggered-halo resample tables (sw.StagResample) for the
-    # chart-consistent damping divergence; None = raw-halo fallback
+    # staggered-halo resample tables (sw.StagResample) - kept for the
+    # exchange-based damping formulation (sw.damping_divergence, the
+    # validated alternative to the in-kernel blend; see PaddedMetrics
+    # .div_blend) and for future staggered-halo consumers
     stag: object = None
 
 
@@ -224,13 +226,13 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm,
             kt=cfg.pallas_kt or None,
             jt=cfg.pallas_jt if cfg.pallas_jt > 0 else None,
-            chart=chart, stag_tabs=ctx.stag)
+            chart=chart)
     else:
         substep_fn = lambda s, rim_loc=None: d_sw_substep(
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm, chart=chart,
-            stag_tabs=ctx.stag, rim_loc=rim_loc)
+            rim_loc=rim_loc)
 
     zf = jnp.zeros((), jnp.float32)
 

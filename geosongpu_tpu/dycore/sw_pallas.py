@@ -444,7 +444,6 @@ def d_sw_substep_pallas(
     jt: Optional[int] = None,
     interpret: Optional[bool] = None,
     chart=None,
-    stag_tabs=None,
 ) -> SubstepOut:
     """Drop-in replacement for sw.d_sw_substep with the horizontal phases
     fused into Pallas kernels.  Bit-compatible math (same functions), with
@@ -471,7 +470,7 @@ def d_sw_substep_pallas(
     # ---- A-grid winds in the glue (XLA): averaging + halo basis/chart
     # machinery + the cube-corner chart reconstruction - kept OUTSIDE the
     # kernels so the corner patch contractions never meet J-tiling -------
-    from .sw import a_grid_winds, damping_divergence
+    from .sw import a_grid_winds
 
     ua, va = a_grid_winds(s.pu, s.pv, m)
     if chart is not None:
@@ -529,14 +528,6 @@ def d_sw_substep_pallas(
         k2, k2_in + _metrics_args(m),
         [(F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K)],
         kt, interpret, jt=jt, name="dsw_csw2")
-
-    # chart-consistent damping divergence in the glue (one staggered
-    # exchange + strip resample + corner-disk blend; the raw-halo
-    # in-kernel projection had a ~2e-4 1/s spurious edge divergence -
-    # see sw.damping_divergence); rides into k4 as one window
-    div_cg = damping_divergence(s.pu, s.pv, ua, va, uct, vct, m, ops,
-                                stag_tabs) \
-        if stag_tabs is not None else None
 
     # Courant / area-flux factors: NOT kernel outputs - the downstream
     # kernels (k3/k3b/k4) rebuild them in-VMEM from uct/vct with the
@@ -637,8 +628,6 @@ def d_sw_substep_pallas(
     use_vort = chart is not None
     fold_k4 = fold_vertical
 
-    use_divn = div_cg is not None
-
     def k4(pu, pv, uct, vct, *rest):
         if fold_k4:
             delp_fb, pt_fb = rest[:2]
@@ -651,11 +640,6 @@ def d_sw_substep_pallas(
             rest = rest[1:]
         else:
             vrt = None
-        if use_divn:
-            dn = rest[0]
-            rest = rest[1:]
-        else:
-            dn = None
         if nonhydro:
             nh_in = rest[:1] if fold_k4 else tuple(rest[:3])
             mets = rest[(1 if fold_k4 else 3):]
@@ -675,14 +659,12 @@ def d_sw_substep_pallas(
                      pt_y=None, pq_x=None, pq_y=None)
         return wind_part(st, mm, uct, vct, crx_, cry_,
                          pt_fb, pkz, phi, nh, dt, hord, d2_bg,
-                         hord_mt=hord_mt, vort=vrt, div_c_in=dn)
+                         hord_mt=hord_mt, vort=vrt)
 
     if fold_k4:
         w_in = [s.pu, s.pv, uct, vct, delp_f, pt_f]
         if use_vort:
             w_in += [vort]
-        if use_divn:
-            w_in += [div_cg]
         if nonhydro:
             w_in += [delz_f]
     else:
@@ -691,8 +673,6 @@ def d_sw_substep_pallas(
         w_in = [s.pu, s.pv, uct, vct, pt_f, pkz, phi_mid]
         if use_vort:
             w_in += [vort]
-        if use_divn:
-            w_in += [div_cg]
         if nonhydro:
             w_in += list(nh_perturbation_fields(delp_f, pt_f, delz_f,
                                                 ptop))

