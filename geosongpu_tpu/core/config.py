@@ -92,6 +92,20 @@ class DycoreConfig:
                                 # corner-block chimera AND halves scalar
                                 # halo fills (x-fill == y-fill after
                                 # correction).  False = round-3 behavior.
+    damping_exchange: str = "auto"  # damping-divergence formulation:
+                             # "exchange" = owner-side normal fields +
+                             # staggered chart resample (dual structure
+                             # everywhere except the corner disks - full
+                             # D-grid checkerboard control; costs one
+                             # staggered exchange per substep);
+                             # "blend" = in-kernel dual/cell blend over
+                             # the edge bands (zero glue; the bands are
+                             # checkerboard-blind, which at c12 covers
+                             # most of the face and was measured to let
+                             # grid-scale noise grow to NaN by ~day 50);
+                             # "auto" = exchange for npx <= 96 (glue is
+                             # cheap there and measured FASTER at c48),
+                             # blend above.
     rim_split: bool = False  # split the c_sw stage into an interior
                              # core computed from LOCAL (un-exchanged)
                              # winds and rim bands from the exchanged

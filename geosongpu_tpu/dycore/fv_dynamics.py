@@ -218,6 +218,14 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
     # would need split Element-window variants) + pipelined scalar pads
     rim_split = cfg.rim_split and cfg.overlap_fills \
         and not cfg.pallas_dycore
+    # damping formulation (DycoreConfig.damping_exchange): exchange for
+    # small grids (cheap + full checkerboard control - the blend's
+    # checkerboard-blind bands cover most of a c12 face and let
+    # grid-scale noise grow to NaN over ~50 days), in-kernel blend for
+    # large (the exchange glue cost ~57 ms/step at c192-L72)
+    use_exchange = cfg.damping_exchange == "exchange" or (
+        cfg.damping_exchange == "auto" and cfg.npx <= 96)
+    stag_for_substep = ctx.stag if use_exchange else None
     if cfg.pallas_dycore:
         from .sw_pallas import d_sw_substep_pallas
         substep_fn = lambda s: d_sw_substep_pallas(
@@ -226,13 +234,13 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm,
             kt=cfg.pallas_kt or None,
             jt=cfg.pallas_jt if cfg.pallas_jt > 0 else None,
-            chart=chart)
+            chart=chart, stag_tabs=stag_for_substep)
     else:
         substep_fn = lambda s, rim_loc=None: d_sw_substep(
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm, chart=chart,
-            rim_loc=rim_loc)
+            rim_loc=rim_loc, stag_tabs=stag_for_substep)
 
     zf = jnp.zeros((), jnp.float32)
 

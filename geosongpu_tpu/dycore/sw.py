@@ -909,18 +909,21 @@ def nh_perturbation_fields(delp_new, pt_new, delz_new, ptop: float):
 
 def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
               pt_new, pkz, phi_mid, nh_fields, dt: float, hord: int,
-              d2_bg: float, hord_mt: int = 0, vort=None):
+              d2_bg: float, hord_mt: int = 0, vort=None, div_c_in=None):
     """D-grid vector-invariant wind update (horizontal only, Pallas-safe).
 
     pkz/phi_mid: hydrostatic fields of the post-transport state (computed
     outside - vertically coupled).  nh_fields: optional
     (pprime, phiprime, rho1) cell-centered NH perturbations.
-    The damping divergence is the corner-dual contour blended, inside
-    m.div_blend (face-edge corner bands + cube-corner disks), to the
-    corner-interpolated cell divergence of the advective winds - the
-    raw contour's staggered halos are position/basis-inconsistent there
-    (measured ~2e-4 1/s spurious divergence on solid-body flow; the
-    blend form measures <= 6e-6) while staying fully in-kernel.
+    The damping divergence: div_c_in, when given, is the glue-computed
+    exchange+resample form (damping_divergence - dual structure
+    everywhere except corner disks, full checkerboard control; chosen
+    for npx <= 96 where the exchange is cheap).  Otherwise the in-kernel
+    dual/cell blend over m.div_blend's edge bands (zero glue; chosen at
+    large npx where the glue passes cost ~57 ms/step, and the
+    checkerboard-blind bands are a vanishing fraction of the face).
+    Both forms measure <= 6e-6 1/s spurious divergence on solid-body
+    flow vs the raw contour's 2e-4 (tests/test_damping_divergence.py).
     Returns (u_new, v_new) padded."""
     phi_c = _center_to_corner_w(phi_mid, m)
     pkz_c = _center_to_corner_w(pkz, m)
@@ -956,21 +959,24 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
     # exactly the corner neighborhoods the chart treatment fixed
     # (round-3 verdict item; same flux-form metric family as transport).
     upad, vpad = s.pu, s.pv
-    vmid = 0.5 * (vpad[:, :, :-1] + vpad[:, :, 1:])
-    vu = _pad_edge(0.5 * (vmid[:, :-1, :] + vmid[:, 1:, :]), 1)
-    uf = (upad - m.cosa_j * vu) * m.rsina_j * m.dyc
-    umid = 0.5 * (upad[:, :-1, :] + upad[:, 1:, :])
-    uv = _pad_edge(0.5 * (umid[:, :, :-1] + umid[:, :, 1:]), 2)
-    vf = (vpad - m.cosa_i * uv) * m.rsina_i * m.dxc
-    du = uf[:, :, 1:] - uf[:, :, :-1]
-    dv = vf[:, 1:, :] - vf[:, :-1, :]
-    div_core = (du[:, 1:-1, :] + dv[:, :, 1:-1]) \
-        * m.rarea_c[:, 1:-1, 1:-1]
-    div_dual = _pad_edge(_pad_edge(div_core, 1), 2)
-    # ddx/ddy are flux CONVERGENCES (F[i] - F[i+1]); negate for divergence
-    div_cell = -(ddx(uct * m.dy) + ddy(vct * m.dx)) * m.rarea
-    div_a = _center_to_corner_w(div_cell, m)
-    div_c = jnp.where(m.div_blend > 0.5, div_a, div_dual)
+    if div_c_in is not None:
+        div_c = div_c_in
+    else:
+        vmid = 0.5 * (vpad[:, :, :-1] + vpad[:, :, 1:])
+        vu = _pad_edge(0.5 * (vmid[:, :-1, :] + vmid[:, 1:, :]), 1)
+        uf = (upad - m.cosa_j * vu) * m.rsina_j * m.dyc
+        umid = 0.5 * (upad[:, :-1, :] + upad[:, 1:, :])
+        uv = _pad_edge(0.5 * (umid[:, :, :-1] + umid[:, :, 1:]), 2)
+        vf = (vpad - m.cosa_i * uv) * m.rsina_i * m.dxc
+        du = uf[:, :, 1:] - uf[:, :, :-1]
+        dv = vf[:, 1:, :] - vf[:, :-1, :]
+        div_core = (du[:, 1:-1, :] + dv[:, :, 1:-1]) \
+            * m.rarea_c[:, 1:-1, 1:-1]
+        div_dual = _pad_edge(_pad_edge(div_core, 1), 2)
+        # ddx/ddy are flux CONVERGENCES (F[i]-F[i+1]); negate for div
+        div_cell = -(ddx(uct * m.dy) + ddy(vct * m.dx)) * m.rarea
+        div_a = _center_to_corner_w(div_cell, m)
+        div_c = jnp.where(m.div_blend > 0.5, div_a, div_dual)
 
     # ---- D-grid wind update --------------------------------------------
     # vorticity flux with PPM-upwinded absolute vorticity (the 2-pt
@@ -1094,11 +1100,15 @@ def d_sw_substep(
     hord_tm: int = 0,
     chart=None,
     rim_loc=None,
+    stag_tabs: Optional[StagResample] = None,
 ) -> SubstepOut:
     """One forward-backward acoustic substep on padded fields.
 
     chart: optional ChartCornerTables (cube-corner chart consistency for
-    the A-grid winds and the mid-substep refills)."""
+    the A-grid winds and the mid-substep refills).
+    stag_tabs: when given, the damping divergence uses the
+    exchange+resample formulation (see wind_part); None = in-kernel
+    blend."""
     h, ny, nx = ops.h, ops.ny, ops.nx
 
     def refill(a):
@@ -1116,6 +1126,9 @@ def d_sw_substep(
             s, rim_loc, m, 0.5 * dt, ptop, chart, ops)
     else:
         uct, vct, vort_c, ua, va = c_sw(s, m, 0.5 * dt, ptop, chart=chart)
+    div_cg = damping_divergence(s.pu, s.pv, ua, va, uct, vct, m, ops,
+                                stag_tabs) \
+        if stag_tabs is not None else None
 
     crx = uct * dt * m.rdxc
     cry = vct * dt * m.rdyc
@@ -1169,7 +1182,8 @@ def d_sw_substep(
     u_new, v_new = wind_part(s, m, uct, vct, crx, cry, pt_f, pkz,
                              phi_mid + m.phis, nh_fields, dt, hord, d2_bg,
                              hord_mt=hord_mt,
-                             vort=vort_c if chart is not None else None)
+                             vort=vort_c if chart is not None else None,
+                             div_c_in=div_cg)
 
     return SubstepOut(
         u=u_new[isliceu],

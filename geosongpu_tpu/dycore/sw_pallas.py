@@ -444,6 +444,7 @@ def d_sw_substep_pallas(
     jt: Optional[int] = None,
     interpret: Optional[bool] = None,
     chart=None,
+    stag_tabs=None,
 ) -> SubstepOut:
     """Drop-in replacement for sw.d_sw_substep with the horizontal phases
     fused into Pallas kernels.  Bit-compatible math (same functions), with
@@ -470,7 +471,7 @@ def d_sw_substep_pallas(
     # ---- A-grid winds in the glue (XLA): averaging + halo basis/chart
     # machinery + the cube-corner chart reconstruction - kept OUTSIDE the
     # kernels so the corner patch contractions never meet J-tiling -------
-    from .sw import a_grid_winds
+    from .sw import a_grid_winds, damping_divergence
 
     ua, va = a_grid_winds(s.pu, s.pv, m)
     if chart is not None:
@@ -528,6 +529,14 @@ def d_sw_substep_pallas(
         k2, k2_in + _metrics_args(m),
         [(F, Ny, Nx + 1, K), (F, Ny + 1, Nx, K)],
         kt, interpret, jt=jt, name="dsw_csw2")
+
+    # exchange-form damping divergence in the glue when selected
+    # (npx <= 96; see DycoreConfig.damping_exchange) - rides into k4 as
+    # one window.  Large grids use the in-kernel blend (zero glue).
+    div_cg = damping_divergence(s.pu, s.pv, ua, va, uct, vct, m, ops,
+                                stag_tabs) \
+        if stag_tabs is not None else None
+    use_divn = div_cg is not None
 
     # Courant / area-flux factors: NOT kernel outputs - the downstream
     # kernels (k3/k3b/k4) rebuild them in-VMEM from uct/vct with the
@@ -640,6 +649,11 @@ def d_sw_substep_pallas(
             rest = rest[1:]
         else:
             vrt = None
+        if use_divn:
+            dn = rest[0]
+            rest = rest[1:]
+        else:
+            dn = None
         if nonhydro:
             nh_in = rest[:1] if fold_k4 else tuple(rest[:3])
             mets = rest[(1 if fold_k4 else 3):]
@@ -659,12 +673,14 @@ def d_sw_substep_pallas(
                      pt_y=None, pq_x=None, pq_y=None)
         return wind_part(st, mm, uct, vct, crx_, cry_,
                          pt_fb, pkz, phi, nh, dt, hord, d2_bg,
-                         hord_mt=hord_mt, vort=vrt)
+                         hord_mt=hord_mt, vort=vrt, div_c_in=dn)
 
     if fold_k4:
         w_in = [s.pu, s.pv, uct, vct, delp_f, pt_f]
         if use_vort:
             w_in += [vort]
+        if use_divn:
+            w_in += [div_cg]
         if nonhydro:
             w_in += [delz_f]
     else:
@@ -673,6 +689,8 @@ def d_sw_substep_pallas(
         w_in = [s.pu, s.pv, uct, vct, pt_f, pkz, phi_mid]
         if use_vort:
             w_in += [vort]
+        if use_divn:
+            w_in += [div_cg]
         if nonhydro:
             w_in += list(nh_perturbation_fields(delp_f, pt_f, delz_f,
                                                 ptop))

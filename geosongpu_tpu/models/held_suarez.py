@@ -23,6 +23,9 @@ from ..dycore.fv_dynamics import DycoreContext, build_context, fv_dynamics_step
 from ..physics.held_suarez import HSLatitudes, held_suarez_forcing, hs_latitudes
 
 
+_RUN_CACHE: dict = {}
+
+
 @dataclass(frozen=True)
 class HeldSuarezModel:
     config: DycoreConfig
@@ -38,13 +41,24 @@ class HeldSuarezModel:
                           seed=seed)
 
     def run(self, state: DycoreState, steps: int) -> DycoreState:
-        """Run `steps` model steps as one jitted scan."""
+        """Run `steps` model steps as one jitted scan.
 
-        def body(s, _):
-            return self.step_fn(s), None
+        Jitted with static `steps` and cached per count: the unjitted
+        form retraced the scan on every call, baking the metric/fill
+        constants into a fresh executable each time (measured: a
+        chunked 400-day climatology run leaked to 118 GB RSS)."""
+        key = (id(self), steps)
+        hit = _RUN_CACHE.get(key)
+        if hit is None:
+            def body(s, _):
+                return self.step_fn(s), None
 
-        final, _ = jax.lax.scan(body, state, None, length=steps)
-        return final
+            fn = jax.jit(lambda s0: jax.lax.scan(
+                body, s0, None, length=steps)[0])
+            # keep a strong ref to self so its id cannot be recycled
+            _RUN_CACHE[key] = (self, fn)
+            hit = _RUN_CACHE[key]
+        return hit[1](state)
 
     def run_with_history(self, state: DycoreState, steps: int,
                          every: int = 1):
