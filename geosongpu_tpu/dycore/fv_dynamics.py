@@ -234,13 +234,15 @@ def fv_dynamics_step(state: DycoreState, ctx: DycoreContext) -> DycoreState:
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm,
             kt=cfg.pallas_kt or None,
             jt=cfg.pallas_jt if cfg.pallas_jt > 0 else None,
-            chart=chart, stag_tabs=stag_for_substep)
+            chart=chart, stag_tabs=stag_for_substep,
+            vtx_damp=cfg.vtx_damp)
     else:
         substep_fn = lambda s, rim_loc=None: d_sw_substep(
             s, m, ops, dt_acoustic, cfg.ptop, hord=cfg.hord,
             d2_bg=cfg.d2_bg, advect_tracers=substep_tracers,
             hord_mt=cfg.hord_mt, hord_tm=cfg.hord_tm, chart=chart,
-            rim_loc=rim_loc, stag_tabs=stag_for_substep)
+            rim_loc=rim_loc, stag_tabs=stag_for_substep,
+            vtx_damp=cfg.vtx_damp)
 
     zf = jnp.zeros((), jnp.float32)
 

@@ -909,7 +909,8 @@ def nh_perturbation_fields(delp_new, pt_new, delz_new, ptop: float):
 
 def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
               pt_new, pkz, phi_mid, nh_fields, dt: float, hord: int,
-              d2_bg: float, hord_mt: int = 0, vort=None, div_c_in=None):
+              d2_bg: float, hord_mt: int = 0, vort=None, div_c_in=None,
+              vtx_damp: float = 0.0):
     """D-grid vector-invariant wind update (horizontal only, Pallas-safe).
 
     pkz/phi_mid: hydrostatic fields of the post-transport state (computed
@@ -997,13 +998,35 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
     damp_x = (d2_bg / dt) * m.dx  # x (dx^2/dx) folded: damp * ddiv / dx
     ddiv_x = damp_x * (div_c[:, :, 1:] - div_c[:, :, :-1])
 
+    # ---- optional rotational damping (cfg.vtx_damp) ---------------------
+    # The divergence damping above is only HALF the vector Laplacian:
+    # nu lap(V) = nu grad(div) - nu curl(zeta k).  Rotational modes (jets,
+    # coarse-grid equatorial superrotation) see no dissipation from it;
+    # at c12-L20/dt=1200 the PPM-upwind vorticity flux alone lets
+    # jet-scale energy grow to NaN after ~50 simulated days (round-5
+    # ARCHITECTURE gap).  vtx_damp supplies the missing half on the
+    # RELATIVE vorticity (damping f would inject a spurious -nu*beta
+    # force):  du/dt -= nu dzeta/dy, dv/dt += nu dzeta/dx with
+    # nu = vtx_damp * dx^2 / dt, mirroring the d2_bg discretization.
+    # Orientation-safe: under a chart handedness flip both zeta and the
+    # transverse derivative flip, leaving the force invariant.
+    if vtx_damp > 0.0:
+        zeta = vort_abs - m.fcor
+        dvtx_u = (vtx_damp / dt) * m.dyc[:, 1:-1, :] * (
+            zeta[:, 1:, :] - zeta[:, :-1, :])
+        dvtx_v = (vtx_damp / dt) * m.dxc[:, :, 1:-1] * (
+            zeta[:, :, 1:] - zeta[:, :, :-1])
+    else:
+        dvtx_u = dvtx_v = 0.0
+
     u_new = jnp.concatenate(
         [upad[:, :1, :],
          upad[:, 1:-1, :] + dt * (
              vort_u[:, 1:-1, :] * vct[:, 1:-1, :]
              - dke_x[:, 1:-1, :]
              - pgf_x[:, 1:-1, :]
-             + ddiv_x[:, 1:-1, :]),
+             + ddiv_x[:, 1:-1, :]
+             - dvtx_u),
          upad[:, -1:, :]], axis=1)
 
     # v-points
@@ -1026,7 +1049,8 @@ def wind_part(s: SWState, m: PaddedMetrics, uct, vct, crx, cry,
              -vort_v[:, :, 1:-1] * uct[:, :, 1:-1]
              - dke_y[:, :, 1:-1]
              - pgf_y[:, :, 1:-1]
-             + ddiv_y[:, :, 1:-1]),
+             + ddiv_y[:, :, 1:-1]
+             + dvtx_v),
          vpad[:, :, -1:]], axis=2)
     return u_new, v_new
 
@@ -1101,6 +1125,7 @@ def d_sw_substep(
     chart=None,
     rim_loc=None,
     stag_tabs: Optional[StagResample] = None,
+    vtx_damp: float = 0.0,
 ) -> SubstepOut:
     """One forward-backward acoustic substep on padded fields.
 
@@ -1183,7 +1208,7 @@ def d_sw_substep(
                              phi_mid + m.phis, nh_fields, dt, hord, d2_bg,
                              hord_mt=hord_mt,
                              vort=vort_c if chart is not None else None,
-                             div_c_in=div_cg)
+                             div_c_in=div_cg, vtx_damp=vtx_damp)
 
     return SubstepOut(
         u=u_new[isliceu],

@@ -445,6 +445,7 @@ def d_sw_substep_pallas(
     interpret: Optional[bool] = None,
     chart=None,
     stag_tabs=None,
+    vtx_damp: float = 0.0,
 ) -> SubstepOut:
     """Drop-in replacement for sw.d_sw_substep with the horizontal phases
     fused into Pallas kernels.  Bit-compatible math (same functions), with
@@ -673,7 +674,8 @@ def d_sw_substep_pallas(
                      pt_y=None, pq_x=None, pq_y=None)
         return wind_part(st, mm, uct, vct, crx_, cry_,
                          pt_fb, pkz, phi, nh, dt, hord, d2_bg,
-                         hord_mt=hord_mt, vort=vrt, div_c_in=dn)
+                         hord_mt=hord_mt, vort=vrt, div_c_in=dn,
+                         vtx_damp=vtx_damp)
 
     if fold_k4:
         w_in = [s.pu, s.pv, uct, vct, delp_f, pt_f]
